@@ -1,0 +1,189 @@
+"""Pure-Python golden oracle: replays the pipeline semantics over the fixture
+tables and emits golden_triples / golden_nodes (FIXTURES.md §8).
+
+Semantics replayed (reference citations):
+- mention→CURIE lookup + rerank: builder/lookup_utils.py:4-77 + argmax
+  similarity builder/chemotext2.py:51-64
+- synonym merge to canonical representative (min-CURIE rule):
+  builder/builder.py:249-264 (add_or_find_node) + builder/builder.py:136-167
+  (merge) — here a union-find over the normalization edge list
+- edge-crawl expansion: per-edge op keyed by (src_type,dst_type) metagraph
+  rows (builder/userquery.py:128; ops observed in builder/output)
+- edge dedup on (subj, obj, edge_source, pred): builder/builder.py:218-226
+- shared-PMID support edges: builder/omnicorp.py:21-33
+- sorted equivalent_identifiers: builder/builder.py:81-82
+
+The Spark pipeline (plans/pipeline.py) must reproduce these rows with
+P/R ≥ 0.95 (BASELINE.json); sharing matching.py makes drift structural, not
+tokenizer-level.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import numpy as np
+import pyarrow.parquet as pq
+
+from ..operators.matching import build_trie, detect, featurize, pick_candidate
+
+SUPPORT_PRED = "biolink:correlated_with"
+SUPPORT_SOURCE = "omnicorp.term_to_term"
+
+
+class UnionFind:
+    def __init__(self):
+        self.parent: dict[str, str] = {}
+
+    def find(self, x: str) -> str:
+        p = self.parent.setdefault(x, x)
+        if p != x:
+            self.parent[x] = p = self.find(p)
+        return p
+
+    def union(self, a: str, b: str) -> None:
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.parent[ra] = rb
+
+
+def build_canonical_map(norm_rows) -> dict[str, str]:
+    """curie → deterministic representative (min CURIE in component)."""
+    uf = UnionFind()
+    for alias, canonical, _, _ in norm_rows:
+        uf.union(alias, canonical)
+    members: dict[str, list[str]] = defaultdict(list)
+    for curie in list(uf.parent):
+        members[uf.find(curie)].append(curie)
+    rep_map: dict[str, str] = {}
+    for group in members.values():
+        rep = min(group)
+        for c in group:
+            rep_map[c] = rep
+    return rep_map
+
+
+def compute_golden(fixture_dir: str):
+    """Returns (nodes, triples): lists of dicts matching schemas.NODES /
+    schemas.TRIPLES for the flagship DGX query + support edges."""
+    read = lambda n: pq.read_table(f"{fixture_dir}/{n}.parquet")  # noqa: E731
+    docs = read("documents").to_pylist()
+    lex = [tuple(r) for r in zip(*(read("lexicon").column(c).to_pylist() for c in ("surface", "curie", "node_type")))]
+    norm = list(
+        zip(
+            *(
+                read("normalization").column(c).to_pylist()
+                for c in ("alias", "canonical", "node_type", "name")
+            )
+        )
+    )
+    pm = read("predicate_map").to_pylist()
+    emb_tbl = read("entity_embeddings")
+    emb_map = {
+        c: np.asarray(v, dtype=np.float64)
+        for c, v in zip(emb_tbl.column("curie").to_pylist(), emb_tbl.column("embedding").to_pylist())
+    }
+    tpm = read("term_pmids").to_pylist()
+
+    trie = build_trie(lex)
+    rep_map = build_canonical_map(norm)
+    meta: dict[str, tuple[str, str]] = {}  # rep → (node_type, name)
+    for alias, canonical, ntype, name in norm:
+        meta[rep_map[alias]] = (ntype, name)
+
+    # --- extract + link: doc → set of (rep, original linked curie) ---
+    doc_ents: dict[str, set[tuple[str, str]]] = defaultdict(set)
+    for row in docs:
+        for span in row["spans"] or []:
+            if span["kind"] not in ("text", "caption"):
+                continue
+            ments = detect(span["text"], trie)
+            if not ments:
+                continue
+            ctx = featurize(span["text"])
+            for m in ments:
+                cand, _ = pick_candidate(m.candidates, ctx, emb_map)
+                rep = rep_map.get(cand.curie, cand.curie)
+                doc_ents[row["doc_id"]].add((rep, cand.curie))
+
+    # --- canonicalized predicate map, indexed by (src,dst) type pair ---
+    pm_rep: dict[tuple[str, str], dict[str, list[tuple[str, str, str]]]] = defaultdict(
+        lambda: defaultdict(list)
+    )
+    for r in pm:
+        srep = rep_map.get(r["subj_curie"], r["subj_curie"])
+        orep = rep_map.get(r["obj_curie"], r["obj_curie"])
+        pm_rep[(r["src_type"], r["dst_type"])][srep].append((orep, r["pred"], r["op_name"]))
+
+    hop1_map = pm_rep[("disease", "gene")]
+    hop2_map = pm_rep[("gene", "genetic_condition")]
+
+    # --- DGX expansion with dedup on (subj, pred, obj, edge_source) ---
+    agg: dict[tuple[str, str, str, str], tuple[set[str], set[str]]] = defaultdict(
+        lambda: (set(), set())
+    )
+
+    def emit(subj, pred, obj, src, doc_id, inputs):
+        pubs, ins = agg[(subj, pred, obj, src)]
+        pubs.add(f"DOC:{doc_id}")
+        ins.update(inputs)
+
+    for doc_id, ents in doc_ents.items():
+        # originating mention curies per disease rep in this doc
+        origins: dict[str, set[str]] = defaultdict(set)
+        for rep, orig in ents:
+            if meta.get(rep, ("", ""))[0] == "disease":
+                origins[rep].add(orig)
+        for d, inputs in origins.items():
+            for g, pred1, op1 in hop1_map.get(d, ()):
+                emit(d, pred1, g, op1, doc_id, inputs)
+                for x, pred2, op2 in hop2_map.get(g, ()):
+                    emit(g, pred2, x, op2, doc_id, inputs)
+
+    triples = [
+        dict(
+            subj=s,
+            pred=p,
+            obj=o,
+            edge_source=src,
+            publications=sorted(pubs),
+            input_identifiers=",".join(sorted(ins)),
+        )
+        for (s, p, o, src), (pubs, ins) in agg.items()
+    ]
+
+    # --- support edges: shared PMIDs over graph-node pairs ---
+    graph_nodes = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
+    pmids: dict[str, set[str]] = defaultdict(set)
+    for r in tpm:
+        pmids[rep_map.get(r["curie"], r["curie"])].add(r["pmid"])
+    for i, a in enumerate(graph_nodes):
+        for b in graph_nodes[i + 1 :]:
+            shared = pmids[a] & pmids[b]
+            if shared:
+                triples.append(
+                    dict(
+                        subj=a,
+                        pred=SUPPORT_PRED,
+                        obj=b,
+                        edge_source=SUPPORT_SOURCE,
+                        publications=sorted(shared),
+                        input_identifiers="",
+                    )
+                )
+
+    # --- nodes with sorted equivalent_identifiers ---
+    members: dict[str, list[str]] = defaultdict(list)
+    for curie, rep in rep_map.items():
+        members[rep].append(curie)
+    all_node_ids = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
+    nodes = [
+        dict(
+            id=r,
+            node_type=meta.get(r, ("", ""))[0],
+            name=meta.get(r, ("", ""))[1],
+            equivalent_identifiers=sorted(members.get(r, [r])),
+        )
+        for r in all_node_ids
+    ]
+    return nodes, triples

@@ -1,0 +1,140 @@
+"""Fixed per-stage schemas for the KG-construction pipeline.
+
+Reference data model (SURVEY.md §1): KNode → nodes row, KEdge → triples row.
+Input shape is authoritative from BASELINE.json input_hint:
+documents(doc_id:string, spans:array<struct<kind,text,media_ref,offset>>).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+SPAN = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("text", StringType()),
+        StructField("media_ref", StringType()),
+        StructField("offset", IntegerType()),
+    ]
+)
+
+DOCUMENTS = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("spans", ArrayType(SPAN)),
+    ]
+)
+
+# Mention dictionary (reference analog: name→CURIE lookups,
+# builder/lookup_utils.py:4-77).
+LEXICON = StructType(
+    [
+        StructField("surface", StringType()),
+        StructField("curie", StringType()),
+        StructField("node_type", StringType()),
+    ]
+)
+
+# alias→canonical map (reference analog: node_map synonym index,
+# builder/builder.py:249-264).
+NORMALIZATION = StructType(
+    [
+        StructField("alias", StringType()),
+        StructField("canonical", StringType()),
+        StructField("node_type", StringType()),
+        StructField("name", StringType()),
+    ]
+)
+
+# Typed edge ops + concrete edge instances (reference analog: metagraph
+# edges with r.op, builder/userquery.py:128; the closed-world KG the
+# crawl queries).
+PREDICATE_MAP = StructType(
+    [
+        StructField("src_type", StringType()),
+        StructField("dst_type", StringType()),
+        StructField("op_name", StringType()),
+        StructField("pred", StringType()),
+        StructField("subj_curie", StringType()),
+        StructField("obj_curie", StringType()),
+    ]
+)
+
+ENTITY_EMBEDDINGS = StructType(
+    [
+        StructField("curie", StringType()),
+        StructField("embedding", ArrayType(FloatType())),
+    ]
+)
+
+TERM_PMIDS = StructType(
+    [
+        StructField("curie", StringType()),
+        StructField("pmid", StringType()),
+    ]
+)
+
+CDW_COUNTS = StructType(
+    [
+        StructField("icd9", StringType()),
+        StructField("count", LongType()),
+    ]
+)
+
+CDW_PAIRCOUNTS = StructType(
+    [
+        StructField("icd9_a", StringType()),
+        StructField("icd9_b", StringType()),
+        StructField("c1", LongType()),
+        StructField("c2", LongType()),
+        StructField("c", LongType()),
+        StructField("p", DoubleType()),
+    ]
+)
+
+# Stage 1 output: one row per detected mention.
+MENTIONS = StructType(
+    [
+        StructField("doc_id", StringType()),
+        StructField("span_pos", IntegerType()),
+        StructField("span_offset", IntegerType()),
+        StructField("mention_start", IntegerType()),
+        StructField("surface", StringType()),
+        StructField("curie", StringType()),  # linked (post-rerank) CURIE
+        StructField("node_type", StringType()),
+        StructField("score", DoubleType()),
+    ]
+)
+
+# Materialized node table (reference analog: export_node fields,
+# builder/builder.py:76-96).
+NODES = StructType(
+    [
+        StructField("id", StringType()),
+        StructField("node_type", StringType()),
+        StructField("name", StringType()),
+        StructField("equivalent_identifiers", ArrayType(StringType())),
+    ]
+)
+
+# Materialized triple table (reference analog: export_edge fields,
+# builder/builder.py:16-41).
+TRIPLES = StructType(
+    [
+        StructField("subj", StringType()),
+        StructField("pred", StringType()),
+        StructField("obj", StringType()),
+        StructField("edge_source", StringType()),
+        StructField("publications", ArrayType(StringType())),
+        StructField("input_identifiers", StringType()),
+    ]
+)
