@@ -1,0 +1,152 @@
+"""Canonicalization: connected components over synonym-equivalence edges +
+alias→representative resolution joins.
+
+Reference analog: KnowledgeGraph.merge / add_or_find_node — eager per-edge
+synonym merging via an in-memory node_map (builder/builder.py:136-167,
+249-264). At 10^12 docs that becomes an iterative large-star/small-star
+connected-components fixpoint (Kiveris et al., "Connected Components in
+MapReduce and Beyond") with a deterministic min-CURIE representative, so
+outputs are stable across runs and parallelism levels (SURVEY.md §7 hard
+thing #1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64("src", "dst")), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    mins = (
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("_mn"))
+        .withColumn("m", F.least("_mn", "src"))
+        .drop("_mn")
+    )
+    return (
+        sym.filter(F.col("dst") > F.col("src"))
+        .join(mins, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    orient = (
+        edges.select(
+            F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    mins = orient.groupBy("src").agg(F.min("dst").alias("m"))
+    relinked = orient.join(mins, "src").select(F.col("dst").alias("src"), "m")
+    rooted = mins.select("src", "m")
+    return (
+        relinked.union(rooted)
+        .filter(F.col("src") != F.col("m"))
+        .withColumnRenamed("m", "dst")
+        .distinct()
+    )
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+) -> DataFrame:
+    """Undirected CC → (curie, rep) with rep = min member of the component.
+
+    Alternating large-star/small-star rounds, O(log n) convergence; each
+    round localCheckpoints to cut lineage (driver fixpoint loop — the one
+    thing Catalyst cannot express, SURVEY.md §4 custom piece #2).
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    all_nodes = e.select(F.col("src").alias("curie")).union(
+        e.select(F.col("dst").alias("curie"))
+    ).distinct()
+
+    cur = e.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    prev_fp = None
+    for _ in range(max_iter):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+
+    # fixpoint edges form stars (node → component min); orient + dedupe,
+    # then add identity rows for nodes whose component is a singleton
+    star = cur.select(
+        F.greatest("src", "dst").alias("curie"), F.least("src", "dst").alias("rep")
+    ).groupBy("curie").agg(F.min("rep").alias("rep"))
+    return (
+        all_nodes.join(star, "curie", "left")
+        .select("curie", F.coalesce("rep", "curie").alias("rep"))
+    )
+
+
+def canonical_map(normalization: DataFrame) -> DataFrame:
+    """normalization(alias, canonical, node_type, name) →
+    (curie, rep, node_type, name): every known curie mapped to its
+    deterministic representative, carrying component metadata (min name/type
+    for determinism; fixture components are metadata-consistent)."""
+    reps = connected_components(normalization, src="alias", dst="canonical")
+    meta = (
+        normalization.select(F.col("alias").alias("curie"), "node_type", "name")
+        .join(reps, "curie")
+        .groupBy("rep")
+        .agg(F.min("node_type").alias("node_type"), F.min("name").alias("name"))
+    )
+    return reps.join(meta, "rep").select("curie", "rep", "node_type", "name")
+
+
+def resolve_aliases(
+    fact: DataFrame,
+    rep_map: DataFrame,
+    key: str,
+    out: str = "rep",
+    strategy: str = "broadcast",
+    nsalt: int = 8,
+    salt_source: Column | None = None,
+) -> DataFrame:
+    """Map fact[key] (a CURIE) to its canonical representative.
+
+    strategy='broadcast': map-side join — the right call while the alias map
+    is dimension-sized (no shuffle, no skew possible).
+    strategy='salted': for when the map outgrows broadcast at 10^12-doc
+    scale — replicate the map ×nsalt and spread fact rows of the same hot key
+    (hub entity) across salt buckets, so no single shuffle partition owns a
+    hub (SURVEY.md §4 custom piece #1). AQE skew-join remains the backstop.
+    """
+    mapped = rep_map.select(F.col("curie").alias("__alias"), F.col("rep").alias(out))
+    if strategy == "broadcast":
+        joined = fact.join(F.broadcast(mapped), fact[key] == F.col("__alias"), "left")
+    elif strategy == "salted":
+        salted_map = mapped.withColumn(
+            "__salt", F.explode(F.sequence(F.lit(0), F.lit(nsalt - 1)))
+        )
+        src = salt_source if salt_source is not None else F.xxhash64(*fact.columns)
+        fact_s = fact.withColumn("__salt", F.pmod(src, F.lit(nsalt)).cast("int"))
+        joined = fact_s.join(
+            salted_map,
+            (fact_s[key] == F.col("__alias")) & (fact_s["__salt"] == salted_map["__salt"]),
+            "left",
+        ).drop("__salt")
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    return joined.withColumn(out, F.coalesce(F.col(out), fact[key])).drop("__alias")

@@ -1,0 +1,131 @@
+"""Stage 1: explode span arrays + detect/link mentions.
+
+Spark-first: posexplode keeps exact span ordinals so the span-sequence
+invariant (BASELINE.json input_hint) is checkable/invertible; mention
+detection + embedding rerank run inside a single Arrow-batched mapInPandas
+(one Python→JVM exchange, no per-row Spark UDFs).
+
+Reference analog: seed lookups builder/lookup_utils.py:4-77 generalized to
+in-text dictionary matching; rerank = argmax similarity per
+builder/chemotext2.py:51-64 (SURVEY.md §2.10 E1 mapping).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .matching import build_trie, detect, featurize, pick_candidate
+
+MENTION_UDF_SCHEMA = (
+    "doc_id string, span_pos int, span_offset int, mention_start int, "
+    "surface string, curie string, node_type string, score double"
+)
+
+
+def explode_spans(documents: DataFrame) -> DataFrame:
+    """documents(doc_id, spans) → one row per span with its ordinal.
+
+    posexplode (never explode+re-sort) so reassembly is exactly invertible
+    even with duplicate span texts (SURVEY.md §7 hard thing #2).
+    """
+    return documents.select(
+        "doc_id", F.posexplode_outer("spans").alias("span_pos", "span")
+    ).select(
+        "doc_id",
+        "span_pos",
+        F.col("span.kind").alias("kind"),
+        F.col("span.text").alias("text"),
+        F.col("span.media_ref").alias("media_ref"),
+        F.col("span.offset").alias("offset"),
+    )
+
+
+def reassemble_spans(exploded: DataFrame) -> DataFrame:
+    """Inverse of explode_spans — used by the span-sequence-equality test."""
+    return (
+        exploded.filter(F.col("span_pos").isNotNull())
+        .groupBy("doc_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("span_pos", "kind", "text", "media_ref", "offset"))
+            ).alias("ordered")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "ordered",
+                lambda s: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    s["offset"].alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+
+
+def detect_mentions(
+    spans: DataFrame,
+    lexicon: DataFrame,
+    entity_embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Text/caption spans → mention rows with linked CURIE + score.
+
+    The lexicon trie and embedding matrix are dimension tables (fixed size,
+    not SF-scaled) → driver-collected and broadcast once; the scan side
+    streams through mapInPandas in Arrow batches.
+    """
+    sc = spans.sparkSession.sparkContext
+    trie = build_trie(
+        [(r["surface"], r["curie"], r["node_type"]) for r in lexicon.collect()]
+    )
+    emb_map: dict[str, np.ndarray] = {}
+    if entity_embeddings is not None:
+        for r in entity_embeddings.collect():
+            emb_map[r["curie"]] = np.asarray(r["embedding"], dtype=np.float64)
+    b_trie = sc.broadcast(trie)
+    b_emb = sc.broadcast(emb_map)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        trie_l = b_trie.value
+        emb_l = b_emb.value
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "span_pos": [],
+                "span_offset": [],
+                "mention_start": [],
+                "surface": [],
+                "curie": [],
+                "node_type": [],
+                "score": [],
+            }
+            for doc_id, pos, off, text in zip(
+                pdf["doc_id"], pdf["span_pos"], pdf["offset"], pdf["text"]
+            ):
+                ments = detect(text, trie_l)
+                if not ments:
+                    continue
+                ctx = featurize(text)
+                for m in ments:
+                    cand, score = pick_candidate(m.candidates, ctx, emb_l)
+                    out["doc_id"].append(doc_id)
+                    out["span_pos"].append(pos)
+                    out["span_offset"].append(off)
+                    out["mention_start"].append(m.start)
+                    out["surface"].append(m.surface)
+                    out["curie"].append(cand.curie)
+                    out["node_type"].append(cand.node_type)
+                    out["score"].append(score)
+            yield pd.DataFrame(out)
+
+    textual = spans.filter(F.col("kind").isin("text", "caption")).select(
+        "doc_id", "span_pos", "offset", "text"
+    )
+    return textual.mapInPandas(run, schema=MENTION_UDF_SCHEMA)

@@ -1,0 +1,137 @@
+"""Stage 4: materialize node + triple tables with merge semantics,
+validation, lineage and metrics.
+
+Reference analog: export_node / export_edge over a Neo4j bolt session
+(builder/builder.py:76-96, 16-41). Spark-first: triples written
+partitionBy('pred') (partition pruning for per-predicate consumers);
+"delete old edge then create" (builder/builder.py:24-25) becomes an
+idempotent merge keyed on (subj, obj, edge_source) so resume never
+duplicates (SURVEY.md §7 hard thing #4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TRIPLE_MERGE_KEY = ["subj", "obj", "edge_source"]
+
+
+class NullPredicateError(ValueError):
+    """standard_predicate_id IS NULL is fatal in the reference
+    (builder/builder.py:27-30) — modeled as a validation stage that fails
+    the job, not a silent drop (SURVEY.md §7 hard thing #5)."""
+
+
+def validate_triples(triples: DataFrame) -> DataFrame:
+    bad = triples.filter(
+        F.col("pred").isNull() | F.col("subj").isNull() | F.col("obj").isNull()
+    ).count()
+    if bad:
+        raise NullPredicateError(f"{bad} triples with NULL pred/subj/obj")
+    return triples
+
+
+def build_nodes(triples: DataFrame, rep_map: DataFrame) -> DataFrame:
+    """Node table for every id appearing in triples, with sorted
+    equivalent_identifiers (builder/builder.py:81-82) = all member CURIEs of
+    the canonical component."""
+    ids = (
+        triples.select(F.col("subj").alias("id"))
+        .union(triples.select(F.col("obj").alias("id")))
+        .distinct()
+    )
+    members = rep_map.groupBy("rep").agg(
+        F.array_sort(F.collect_set("curie")).alias("equivalent_identifiers"),
+        F.min("node_type").alias("node_type"),
+        F.min("name").alias("name"),
+    )
+    return ids.join(
+        F.broadcast(members), ids["id"] == members["rep"], "left"
+    ).select(
+        "id",
+        F.coalesce("node_type", F.lit("")).alias("node_type"),
+        F.coalesce("name", F.lit("")).alias("name"),
+        F.coalesce("equivalent_identifiers", F.array(F.col("id"))).alias(
+            "equivalent_identifiers"
+        ),
+    )
+
+
+def write_triples(triples: DataFrame, path: str) -> None:
+    """Partitioned-by-predicate sink (S13). Parquet stands in for Iceberg in
+    this sandbox (no Iceberg runtime jar available offline); layout and merge
+    semantics are format-agnostic."""
+    validate_triples(triples).write.mode("overwrite").partitionBy("pred").parquet(path)
+
+
+def merge_triples(
+    spark: SparkSession, existing_path: str, new: DataFrame, out_path: str
+) -> DataFrame:
+    """Idempotent MERGE: new rows replace existing rows with the same
+    (subj, obj, edge_source) — the reference's delete-then-create
+    (builder/builder.py:24-25) made resume-safe. With Iceberg this is a
+    single MERGE INTO; on parquet it is anti-join + union + rewrite."""
+    existing = spark.read.parquet(existing_path)
+    keep = existing.join(
+        new.select(*TRIPLE_MERGE_KEY).distinct(), TRIPLE_MERGE_KEY, "left_anti"
+    )
+    merged = new.unionByName(keep.select(*new.columns))
+    write_triples(merged, out_path)
+    return spark.read.parquet(out_path)
+
+
+def upsert_nodes(existing: DataFrame, incoming: DataFrame) -> DataFrame:
+    """Node upsert semantics from the reference's export_node + the four
+    golden behaviors in builder/test/test_graphdb_update.py:33-82:
+    - new id → insert (test_create)
+    - re-export with a subtype → node_type labels are ADDED (test_add_label):
+      modeled as a sorted array union in a `labels` column
+    - name and equivalent_identifiers are OVERWRITTEN by the incoming row
+      (test_just_overwrite_name / test_also_overwrite_synonyms)
+    """
+    ex = existing.select(
+        "id",
+        F.col("node_type").alias("ex_node_type"),
+        F.col("name").alias("ex_name"),
+        F.col("equivalent_identifiers").alias("ex_eq"),
+        (
+            F.col("labels")
+            if "labels" in existing.columns
+            else F.array(F.col("node_type"))
+        ).alias("ex_labels"),
+    )
+    inc = incoming.select(
+        "id",
+        F.col("node_type").alias("in_node_type"),
+        F.col("name").alias("in_name"),
+        F.col("equivalent_identifiers").alias("in_eq"),
+    )
+    merged = ex.join(inc, "id", "full_outer")
+    return merged.select(
+        "id",
+        F.coalesce("in_node_type", "ex_node_type").alias("node_type"),
+        F.coalesce("in_name", "ex_name").alias("name"),  # overwrite name
+        F.coalesce("in_eq", "ex_eq").alias("equivalent_identifiers"),  # overwrite
+        F.array_sort(
+            F.array_distinct(
+                F.concat(
+                    F.coalesce("ex_labels", F.array()),
+                    F.when(
+                        F.col("in_node_type").isNotNull(), F.array(F.col("in_node_type"))
+                    ).otherwise(F.array()),
+                )
+            )
+        ).alias("labels"),  # add label, never remove
+    )
+
+
+def stage_metrics(df: DataFrame, stage: str, by: str | None = None) -> DataFrame:
+    """Per-partition lineage/metrics rows written alongside each stage
+    (SURVEY.md §4 custom piece #3): counts + content checksum, keyed by
+    stage and (optionally) output partition."""
+    key = F.coalesce(F.col(by), F.lit("__null__")) if by else F.lit("__all__")
+    return df.groupBy(key.alias("partition_key")).agg(
+        F.count(F.lit(1)).alias("row_count"),
+        F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("checksum"),
+    ).select(F.lit(stage).alias("stage"), "partition_key", "row_count", "checksum")

@@ -1,0 +1,125 @@
+"""Support-edge analytics as set-at-a-time DataFrame math.
+
+The reference scores every unordered node pair with per-pair remote calls
+(builder/builder.py:345-361, O(n²) RPCs). The rebuild replaces that with
+joins + aggregations — the biggest semantic win of the rewrite
+(SURVEY.md §7 M4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SUPPORT_PRED = "biolink:correlated_with"
+SUPPORT_SOURCE = "omnicorp.term_to_term"
+
+CDW_TOTAL = 269332  # grand total of patients, builder/cdw.py:16
+
+
+def shared_pmid_support(
+    graph_nodes: DataFrame, term_pmids_rep: DataFrame
+) -> DataFrame:
+    """Omnicorp analog (builder/omnicorp.py:21-33, SURVEY.md §2.3 J6):
+    support edge (a, correlated_with, b) for every unordered graph-node pair
+    sharing ≥1 PMID; publications = sorted shared PMIDs.
+
+    Shape: semi-join term_pmids down to graph nodes (small), then a
+    self-equi-join on pmid + hash agg — replaces O(n²) per-pair RPCs.
+    graph_nodes: (id); term_pmids_rep: (rep, pmid).
+    """
+    tp = (
+        term_pmids_rep.join(
+            F.broadcast(graph_nodes.select(F.col("id").alias("rep"))), "rep"
+        )
+        .select("rep", "pmid")
+        .distinct()
+    )
+    a, b = tp.alias("a"), tp.alias("b")
+    pairs = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
+    return (
+        pairs.groupBy(F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"))
+        .agg(F.array_sort(F.collect_set("pmid")).alias("publications"))
+        .select(
+            "subj",
+            F.lit(SUPPORT_PRED).alias("pred"),
+            "obj",
+            F.lit(SUPPORT_SOURCE).alias("edge_source"),
+            "publications",
+            F.lit("").alias("input_identifiers"),
+        )
+    )
+
+
+def cdw_pair_lookup(
+    pairs: DataFrame, cdw_counts: DataFrame, cdw_paircounts: DataFrame
+) -> DataFrame:
+    """CDW clinical co-occurrence (builder/cdw.py:92-100, SURVEY.md J8).
+
+    pairs: (icd9_a, icd9_b). Left-join the (symmetrized) pair-counts table;
+    pairs absent from it fall back to the `'<11'` sentinel row with
+    e = c1*c2/total and NULL p — keeping BOTH the stringly sentinel (for
+    reference fidelity) and a typed nullable c_count (SURVEY.md §7 hard
+    thing #3).
+    """
+    # both (a,b) and (b,a) keyed, marginals swapped (builder/cdw.py:48-62)
+    sym = cdw_paircounts.select("icd9_a", "icd9_b", "c1", "c2", "c", "p").unionByName(
+        cdw_paircounts.select(
+            F.col("icd9_b").alias("icd9_a"),
+            F.col("icd9_a").alias("icd9_b"),
+            F.col("c2").alias("c1"),
+            F.col("c1").alias("c2"),
+            "c",
+            "p",
+        )
+    )
+    counts_a = cdw_counts.select(
+        F.col("icd9").alias("icd9_a"), F.col("count").alias("cnt_a")
+    )
+    counts_b = cdw_counts.select(
+        F.col("icd9").alias("icd9_b"), F.col("count").alias("cnt_b")
+    )
+    joined = (
+        pairs.join(F.broadcast(counts_a), "icd9_a")  # F7 known-code guard
+        .join(F.broadcast(counts_b), "icd9_b")
+        .join(F.broadcast(sym), ["icd9_a", "icd9_b"], "left")
+    )
+    return joined.select(
+        "icd9_a",
+        "icd9_b",
+        F.coalesce("c1", "cnt_a").alias("c1"),
+        F.coalesce("c2", "cnt_b").alias("c2"),
+        F.coalesce(F.col("c").cast("string"), F.lit("<11")).alias("c_sentinel"),
+        F.col("c").alias("c_count"),
+        (
+            F.coalesce("c1", "cnt_a").cast("double")
+            * F.coalesce("c2", "cnt_b").cast("double")
+            / F.lit(float(CDW_TOTAL))
+        ).alias("e"),
+        "p",
+    )
+
+
+def chi2_2x2(df: DataFrame, a: str, b: str, c: str, n: str, yates: bool = True):
+    """Closed-form 2×2 chi² (CDW/CooccurChi2.ipynb cells 2-5, SURVEY.md A5)
+    as pure column expressions — no per-row Python, no scipy on executors.
+
+    Contingency from marginals: both = c, only_a = a-c, only_b = b-c,
+    neither = n-a-b+c. Returns (chi2, expected_both) columns.
+    """
+    A = F.col(a).cast("double")
+    B = F.col(b).cast("double")
+    C = F.col(c).cast("double")
+    N = F.col(n).cast("double")
+    o11, o12, o21, o22 = C, A - C, B - C, N - A - B + C
+    r1, r2 = o11 + o12, o21 + o22
+    c1, c2 = o11 + o21, o12 + o22
+    exp = [r1 * c1 / N, r1 * c2 / N, r2 * c1 / N, r2 * c2 / N]
+    obs = [o11, o12, o21, o22]
+    corr = F.lit(0.5) if yates else F.lit(0.0)
+    terms = [
+        F.pow(F.greatest(F.abs(o - e) - corr, F.lit(0.0)), F.lit(2.0)) / e
+        for o, e in zip(obs, exp)
+    ]
+    chi2 = terms[0] + terms[1] + terms[2] + terms[3]
+    return chi2, exp[0]

@@ -1,0 +1,95 @@
+"""Span explode/reassemble invariant + mention detection parity with the
+pure-Python matcher (input_hint per-row invariant: span-sequence equality)."""
+
+from pyspark.sql import functions as F
+
+from robokop_build_spark.operators.extract import (
+    detect_mentions,
+    explode_spans,
+    reassemble_spans,
+)
+from robokop_build_spark.sources.readers import read_fixture
+
+
+def test_span_roundtrip_exact(spark, fixture_dir):
+    docs = read_fixture(spark, fixture_dir, "documents")
+    back = reassemble_spans(explode_spans(docs))
+    orig = docs.filter(F.size("spans") > 0).select("doc_id", "spans")
+    # span-sequence equality: (kind, text, media_ref, order) — offsets too
+    diff_a = orig.exceptAll(back.select("doc_id", "spans"))
+    diff_b = back.select("doc_id", "spans").exceptAll(orig)
+    assert diff_a.count() == 0 and diff_b.count() == 0
+    # empty-span docs survive explode_outer with null ordinals
+    n_empty = docs.filter(F.size("spans") == 0).count()
+    exploded = explode_spans(docs)
+    assert exploded.filter(F.col("span_pos").isNull()).count() == n_empty
+
+
+def test_duplicate_spans_preserved(spark):
+    rows = [
+        (
+            "d1",
+            [
+                {"kind": "text", "text": "same words here", "media_ref": "", "offset": 0},
+                {"kind": "text", "text": "same words here", "media_ref": "", "offset": 20},
+            ],
+        )
+    ]
+    from robokop_build_spark.schemas import DOCUMENTS
+
+    docs = spark.createDataFrame(rows, DOCUMENTS)
+    back = reassemble_spans(explode_spans(docs)).collect()[0]
+    assert len(back["spans"]) == 2
+    assert back["spans"][0]["offset"] == 0 and back["spans"][1]["offset"] == 20
+
+
+def test_mentions_match_oracle_matcher(spark, fixture_dir):
+    import pyarrow.parquet as pq
+
+    from robokop_build_spark.operators.matching import (
+        build_trie,
+        detect,
+        featurize,
+        pick_candidate,
+    )
+    import numpy as np
+
+    docs = read_fixture(spark, fixture_dir, "documents")
+    lex = read_fixture(spark, fixture_dir, "lexicon")
+    emb = read_fixture(spark, fixture_dir, "entity_embeddings")
+    got = {
+        (r["doc_id"], r["span_pos"], r["mention_start"], r["curie"])
+        for r in detect_mentions(explode_spans(docs), lex, emb).collect()
+    }
+
+    lex_t = pq.read_table(f"{fixture_dir}/lexicon.parquet")
+    trie = build_trie(
+        list(
+            zip(
+                lex_t.column("surface").to_pylist(),
+                lex_t.column("curie").to_pylist(),
+                lex_t.column("node_type").to_pylist(),
+            )
+        )
+    )
+    emb_t = pq.read_table(f"{fixture_dir}/entity_embeddings.parquet")
+    emb_map = {
+        c: np.asarray(v, dtype=np.float64)
+        for c, v in zip(
+            emb_t.column("curie").to_pylist(), emb_t.column("embedding").to_pylist()
+        )
+    }
+    want = set()
+    for row in pq.read_table(f"{fixture_dir}/documents.parquet").to_pylist():
+        for pos, span in enumerate(row["spans"] or []):
+            if span["kind"] not in ("text", "caption"):
+                continue
+            ments = detect(span["text"], trie)
+            if not ments:
+                continue
+            ctx = featurize(span["text"])
+            for m in ments:
+                cand, _ = pick_candidate(m.candidates, ctx, emb_map)
+                want.add((row["doc_id"], pos, m.start, cand.curie))
+    assert got == want
+    assert len(got) > 1000  # fixture actually produces volume

@@ -1,0 +1,103 @@
+"""End-to-end flagship pipeline vs the pure-Python golden oracle.
+
+Correctness gate (BASELINE.json): triple precision AND recall ≥ 0.95 vs
+golden_triples. We assert exact-set equality where possible and the P/R gate
+as the contractual floor."""
+
+import pytest
+
+
+def _triple_key(t):
+    return (t["subj"], t["pred"], t["obj"], t["edge_source"])
+
+
+def _full_key(t):
+    return (
+        t["subj"],
+        t["pred"],
+        t["obj"],
+        t["edge_source"],
+        tuple(t["publications"]),
+        t["input_identifiers"],
+    )
+
+
+@pytest.fixture(scope="session")
+def pipeline_out(spark, fixture_dir, tmp_path_factory):
+    from robokop_build_spark.plans.pipeline import run_pipeline
+
+    workdir = str(tmp_path_factory.mktemp("pipeline_work"))
+    return run_pipeline(spark, fixture_dir, workdir), workdir
+
+
+def test_triples_pr_gate(pipeline_out, golden):
+    out, _ = pipeline_out
+    got = {_triple_key(r.asDict()) for r in out["triples"].collect()}
+    want = {_triple_key(t) for t in golden["triples"]}
+    assert want, "golden must be non-empty"
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want)
+    assert precision >= 0.95, f"precision {precision:.4f} ({len(got)} got)"
+    assert recall >= 0.95, f"recall {recall:.4f} ({len(want)} want)"
+
+
+def test_triples_exact_including_provenance(pipeline_out, golden):
+    out, _ = pipeline_out
+    got = {_full_key(r.asDict()) for r in out["triples"].collect()}
+    want = {_full_key(t) for t in golden["triples"]}
+    assert got == want
+
+
+def test_nodes_match_golden(pipeline_out, golden):
+    out, _ = pipeline_out
+    got = {
+        (r["id"], r["node_type"], r["name"], tuple(r["equivalent_identifiers"]))
+        for r in out["nodes"].collect()
+    }
+    want = {
+        (n["id"], n["node_type"], n["name"], tuple(n["equivalent_identifiers"]))
+        for n in golden["nodes"]
+    }
+    assert got == want
+
+
+def test_triples_partitioned_by_pred(pipeline_out):
+    import os
+
+    _, workdir = pipeline_out
+    parts = [
+        d for d in os.listdir(os.path.join(workdir, "triples")) if d.startswith("pred=")
+    ]
+    assert len(parts) >= 3  # hop1, hop2, support
+
+
+def test_metrics_lineage_rows(pipeline_out):
+    out, _ = pipeline_out
+    m = {(r["stage"], r["partition_key"]): r["row_count"] for r in out["metrics"].collect()}
+    stages = {s for s, _ in m}
+    assert {"mentions", "doc_entities", "triples", "nodes"} <= stages
+    assert all(v > 0 for v in m.values())
+
+
+def test_resume_skips_completed_stages_and_is_identical(
+    spark, fixture_dir, pipeline_out, golden
+):
+    """Kill/resume semantics: wipe a downstream stage marker, rerun, get
+    byte-identical triples; upstream stages are not recomputed."""
+    import os
+    import shutil
+
+    from robokop_build_spark.plans.pipeline import run_pipeline
+
+    _, workdir = pipeline_out
+    before = os.path.getmtime(os.path.join(workdir, "mentions", "_STAGE_COMMITTED"))
+    # simulate a crash between 'triples' and 'nodes'
+    for stage in ("nodes", "metrics"):
+        shutil.rmtree(os.path.join(workdir, stage))
+    out2 = run_pipeline(spark, fixture_dir, workdir)
+    after = os.path.getmtime(os.path.join(workdir, "mentions", "_STAGE_COMMITTED"))
+    assert before == after  # mentions stage skipped on resume
+    got = {_full_key(r.asDict()) for r in out2["triples"].collect()}
+    want = {_full_key(t) for t in golden["triples"]}
+    assert got == want
