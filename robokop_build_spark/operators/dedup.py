@@ -1,0 +1,222 @@
+"""Deduplication operators for large-scale corpus curation.
+
+All operators take a documents DataFrame with (id_col, text_col) and are
+pure DataFrame compositions (JVM-side, whole-stage-codegen-friendly) except
+simhash, which needs bit-twiddling and runs as an Arrow-batched pandas UDF.
+
+Hashing note: content hashes use md5 (hex string) rather than xxhash64 so
+the DuckDB correctness oracle can reproduce them bit-for-bit; at cluster
+scale md5-vs-xxhash is a constant factor inside codegen, not a shuffle
+change.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup via hash-groupBy: one row per distinct text with the
+    kept (min) id and the duplicate count. Map-side partial agg → single
+    shuffle on the content hash."""
+    return (
+        docs.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(F.col(id_col)).alias("keep_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def word_shingles(text_col: str, k: int = 3):
+    """Array of word k-grams (space-joined), [] when fewer than k tokens.
+    Expressed with transform/sequence so it stays inside codegen."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
+    )
+    return F.when(n >= k, F.transform(idx, gram)).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-dup pairs by word-k-gram Jaccard ≥ threshold.
+
+    explode distinct shingles → self-equi-join on shingle → count shared →
+    |A∩B| / (|A|+|B|−|A∩B|). Exact but quadratic in hot shingles — the
+    verify-path for MinHash-LSH candidates at scale, not the scale path
+    itself.
+    """
+    sh = (
+        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        .select("id", F.explode("sh").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    shared = (
+        a.join(b, "shingle")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        shared.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signature(text_col: str, k: int = 3, num_hashes: int = 16):
+    """num_hashes-wide MinHash signature over word-k-gram shingles.
+
+    Hash family: md5(seed || '|' || shingle) with lexicographic min — string
+    min is as valid a total order as integer min, and is reproducible in any
+    engine (the DuckDB oracle uses the identical expression).
+    """
+    sh = word_shingles(text_col, k)
+    one = lambda i: F.array_min(  # noqa: E731
+        F.transform(sh, lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    )
+    return F.array(*[one(i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH — the scale path:
+    cost is (docs × bands) rows hashed into buckets + an equi-join per
+    bucket, never an all-pairs comparison.
+
+    bands of rows r = num_hashes/bands; band key = md5(concat of the band's
+    slice). Pairs sharing ≥1 band key are candidates (dedup'd).
+    """
+    r = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"), minhash_signature(text_col, k, num_hashes).alias("sig")
+    ).filter(F.size("sig") > 0)
+    banded = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws("|", *[F.col("sig")[b * r + j] for j in range(r)])
+                        ).alias("bkey"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    x, y = banded.alias("x"), banded.alias("y")
+    return (
+        x.join(y, ["band", "bkey"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+
+
+SIMHASH_SCHEMA = "id string, simhash long"
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens, Arrow-batched + numpy-
+    vectorized (bit unpacking across the whole batch at once; the only loop
+    is per-batch). md5-derived token hashes keep it engine-reproducible."""
+    import hashlib
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                toks = [t for t in (text or "").split(" ") if t]
+                if not toks:
+                    ids.append(i)
+                    hashes.append(0)
+                    continue
+                hs = np.frombuffer(
+                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
+                    dtype=">u8",
+                )
+                bits = np.unpackbits(hs.view(np.uint8)).reshape(len(toks), 64)
+                vote = bits.sum(axis=0) * 2 - len(toks)  # +1/-1 majority
+                sh = np.uint64(0)
+                for b in np.nonzero(vote > 0)[0]:
+                    sh |= np.uint64(1) << np.uint64(63 - b)
+                ids.append(i)
+                hashes.append(int(sh.view(np.int64)))
+            yield pd.DataFrame({"id": ids, "simhash": hashes})
+
+    return docs.select(
+        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    ).mapInPandas(run, schema=SIMHASH_SCHEMA)
+
+
+def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-pairs by Hamming distance ≤ max_hamming over 64-bit simhashes,
+    banded into 4×16-bit chunks (pigeonhole: distance ≤3 ⇒ ≥1 identical
+    chunk) — bucket-join, not all-pairs."""
+    chunks = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("simhash", c * 16).bitwiseAND(F.lit(0xFFFF)).alias("ckey"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("ck"),
+    ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    cand = (
+        a.join(b, ["chunk", "ckey"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .distinct()
+    )
+    return cand.withColumn(
+        "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

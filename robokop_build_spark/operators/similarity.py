@@ -1,0 +1,157 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, JVM-side arithmetic via
+zip_with/aggregate (no Python in the hot path). Scale path: LSH-bucketed
+(random-hyperplane signatures) candidate generation so a 1000-executor
+cluster never materializes the full cross product; plus embedding-cosine
+near-duplicate detection for corpus curation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a, b):
+    """cosine(a, b) as a column expression (double), sequential-order
+    arithmetic so external oracles reproduce it exactly."""
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k neighbors for each query vector.
+
+    queries is small (broadcast) → the join is a map-side nested loop over
+    the corpus scan; per-group top-k via window (rank ties broken by
+    neighbor id for run-to-run determinism). Score rounded to 6dp so
+    cross-engine fp noise can't flip equality checks."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def hyperplane_signature(vec_col: str, planes: list[list[float]]):
+    """Random-hyperplane LSH signature: bit i = sign(v · plane_i), packed
+    into a long. planes are driver-side constants (seeded)."""
+    bits = []
+    for i, p in enumerate(planes):
+        arr = F.array(*[F.lit(float(x)) for x in p])
+        dot = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out.cast("long")
+
+
+def make_planes(dim: int, n_bits: int, seed: int = 42) -> list[list[float]]:
+    import random
+
+    rng = random.Random(f"planes:{seed}")
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_bits)]
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    dim: int = 64,
+    n_bits: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: bucket corpus + queries by hyperplane signature,
+    rank only within matching buckets. At 100 TB this replaces the full
+    scan-per-query with a shuffle on the (small-cardinality) bucket key;
+    recall is tuned by n_bits / multi-probe."""
+    planes = make_planes(dim, n_bits, seed)
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
+def embedding_near_duplicates(
+    embeddings: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    dim: int = 64,
+    n_bits: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ threshold), LSH-bucketed:
+    high-cosine pairs land in the same hyperplane bucket with high
+    probability, so the self-join is per-bucket, never global."""
+    planes = make_planes(dim, n_bits, seed)
+    sig = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        hyperplane_signature(vec_col, planes).alias("bucket"),
+    )
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("score", F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6))
+        .filter(F.col("score") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "score")
+        .distinct()
+    )

@@ -1,0 +1,91 @@
+"""Text-analysis operators for training-data curation: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (whole-stage codegen, no UDFs), each with an
+exact DuckDB-SQL twin in __spark_entry__.oracle_sql().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword lists for the n-gram/stopword-ratio heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "with", "for", "was"],
+    "de": ["der", "die", "das", "und", "ist", "von", "mit", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "des", "une", "dans", "que", "pour"],
+    "es": ["el", "la", "los", "de", "que", "y", "en", "una", "es", "por"],
+}
+LANG_ORDER = ["en", "de", "fr", "es"]  # deterministic tie-break priority
+
+
+def _tokens(text_col: str):
+    return F.split(F.lower(F.col(text_col)), " ")
+
+
+def _stopword_hits(text_col: str, words: list[str]):
+    return F.size(F.filter(_tokens(text_col), lambda t: t.isin(*words)))
+
+
+def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Stopword-vote language ID: argmax of per-language stopword hits,
+    'und' (undetermined) when no list scores. Ties broken by LANG_ORDER."""
+    hits = {lang: _stopword_hits(text_col, ws) for lang, ws in LANG_STOPWORDS.items()}
+    best_cnt = F.greatest(*[hits[lang] for lang in LANG_ORDER])
+    pred = F.lit("und")
+    for lang in reversed(LANG_ORDER):
+        pred = F.when(hits[lang] == best_cnt, F.lit(lang)).otherwise(pred)
+    pred = F.when(best_cnt > 0, pred).otherwise(F.lit("und"))
+    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish subword estimate
+    (ceil(chars/4), the common ~4-chars-per-token heuristic)."""
+    toks = _tokens(text_col)
+    return docs.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.length(F.col(text_col)).alias("n_chars"),
+        F.ceil(F.length(F.col(text_col)) / F.lit(4.0)).cast("long").alias("n_bpe_est"),
+    )
+
+
+def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality signals + a composite
+    score in [0,1]. Rounded to 6dp for cross-engine comparability."""
+    toks = _tokens(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    punct = F.length(F.regexp_replace(F.col(text_col), "[^.!?,;:]", ""))
+    stop = _stopword_hits(text_col, LANG_STOPWORDS["en"])
+    mean_tok_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
+    punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop.cast("double") / n_tok).otherwise(F.lit(0.0))
+    composite = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * F.lit(0.4)
+        + F.least(stop_ratio * F.lit(5.0), F.lit(1.0)) * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * F.lit(10.0), F.lit(1.0))) * F.lit(0.2)
+    )
+    return docs.select(
+        F.col(id_col),
+        F.round(mean_tok_len, 6).alias("mean_token_len"),
+        F.round(punct_ratio, 6).alias("punct_ratio"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(composite, 6).alias("quality"),
+    )
+
+
+def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text (lowercase, strip
+    non-alphanumerics to single spaces, trim) — the canonical key for exact
+    dedup across formatting variants."""
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return docs.select(F.col(id_col), F.md5(norm).alias("fingerprint"))

@@ -1,0 +1,70 @@
+import pytest
+from pyspark.sql import functions as F
+
+from robokop_build_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog near the river bank today"
+NEAR = "the quick brown fox jumps over the lazy dog near the river bank tonight"
+OTHER = "completely different content about spark partitions and shuffle behavior"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("d1", BASE),
+        ("d2", BASE),  # exact dup of d1
+        ("d3", NEAR),  # near dup of d1
+        ("d4", OTHER),
+        ("d5", "tiny"),  # fewer tokens than shingle k
+        ("d6", ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_duplicates(docs):
+    out = {r["keep_id"]: r["n_copies"] for r in exact_duplicates(docs).collect()}
+    assert out["d1"] == 2  # d1+d2 collapse
+    assert out["d3"] == 1 and out["d4"] == 1
+
+
+def test_ngram_jaccard(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    assert pairs[("d1", "d2")] == 1.0
+    assert 0.5 <= pairs[("d1", "d3")] < 1.0
+    assert ("d1", "d4") not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert ("d1", "d2") in pairs
+    assert ("d1", "d3") in pairs
+    assert ("d1", "d4") not in pairs
+
+
+def test_simhash_near_pairs(docs):
+    sim = simhash(docs)
+    vals = {r["id"]: r["simhash"] for r in sim.collect()}
+    assert vals["d1"] == vals["d2"]
+    pairs = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in simhash_near_pairs(sim, max_hamming=6).collect()
+    }
+    assert pairs[("d1", "d2")] == 0
+    assert ("d1", "d4") not in pairs
+
+
+def test_simhash_stable_across_runs(docs):
+    a = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
+    b = {r["id"]: r["simhash"] for r in simhash(docs.repartition(5)).collect()}
+    assert a == b

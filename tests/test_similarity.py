@@ -1,0 +1,65 @@
+import numpy as np
+import pytest
+
+from robokop_build_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_duplicates,
+    lsh_topk,
+)
+
+DIM = 16
+N = 120
+
+
+@pytest.fixture(scope="module")
+def vecs():
+    rng = np.random.RandomState(7)
+    v = rng.randn(N, DIM).astype(np.float32)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    v[1] = v[0] + 0.01 * rng.randn(DIM).astype(np.float32)  # near-dup pair (0,1)
+    v[1] /= np.linalg.norm(v[1])
+    return v
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark, vecs):
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(N)]
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def _numpy_topk(vecs, qids, k):
+    sims = vecs @ vecs.T
+    out = {}
+    for q in qids:
+        scores = np.round(sims[q].astype(np.float64), 6)
+        order = sorted(
+            (i for i in range(N) if i != q), key=lambda i: (-scores[i], i)
+        )
+        out[q] = order[:k]
+    return out
+
+
+def test_brute_force_matches_numpy(spark, emb_df, vecs):
+    qids = [0, 5, 17]
+    queries = emb_df.filter(emb_df.vec_id.isin(qids))
+    got = {}
+    for r in brute_force_topk(emb_df, queries, k=4).collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"]))
+    want = _numpy_topk(vecs.astype(np.float64), qids, 4)
+    for q in qids:
+        assert [n for _, n in sorted(got[q])] == want[q]
+
+
+def test_lsh_topk_high_recall_on_near_dup(spark, emb_df):
+    queries = emb_df.filter(emb_df.vec_id == 0)
+    got = [r["neighbor_id"] for r in lsh_topk(emb_df, queries, k=3, dim=DIM).collect()]
+    assert 1 in got  # the planted near-duplicate shares every hyperplane bucket
+
+
+def test_embedding_near_duplicates(spark, emb_df):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(emb_df, threshold=0.95, dim=DIM).collect()
+    }
+    assert (0, 1) in pairs
+    assert all(a == 0 and b == 1 for a, b in pairs) or len(pairs) < 5

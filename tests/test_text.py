@@ -1,0 +1,58 @@
+import pytest
+
+from robokop_build_spark.operators.text import (
+    fingerprint,
+    language_id,
+    quality_score,
+    token_stats,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        ("e1", "the cat and the dog ran to the house in the rain"),
+        ("g1", "der hund und die katze ist nicht mit der maus"),
+        ("f1", "le chat et la souris est dans les jardins pour toujours"),
+        ("x1", "zzz qqq www"),
+        ("p1", "Hello, World! This is... punctuation; heavy: text."),
+        ("n1", ""),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_language_id(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in language_id(docs).collect()}
+    assert got["e1"] == "en"
+    assert got["g1"] == "de"
+    assert got["f1"] == "fr"
+    assert got["x1"] == "und"
+
+
+def test_token_stats(docs):
+    got = {r["doc_id"]: r for r in token_stats(docs).collect()}
+    assert got["e1"]["n_tokens"] == 12
+    assert got["x1"]["n_chars"] == 11
+    assert got["x1"]["n_bpe_est"] == 3  # ceil(11/4)
+
+
+def test_quality_score_ranges(docs):
+    for r in quality_score(docs).collect():
+        assert 0.0 <= r["quality"] <= 1.0
+        assert 0.0 <= r["punct_ratio"] <= 1.0
+    got = {r["doc_id"]: r for r in quality_score(docs).collect()}
+    assert got["e1"]["stopword_ratio"] > got["x1"]["stopword_ratio"]
+    assert got["p1"]["punct_ratio"] > 0.1
+
+
+def test_fingerprint_normalizes_formatting(spark):
+    rows = [
+        ("a", "Hello,   World!"),
+        ("b", "hello world"),
+        ("c", "HELLO ... WORLD"),
+        ("d", "different text"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
+    assert got["a"] == got["b"] == got["c"]
+    assert got["d"] != got["a"]
