@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+`entry(spark)` runs the flagship KG-construction pipeline (extract → link →
+canonicalize → materialize) on an interleaved-span corpus generated
+deterministically at sf0.001 scale and returns the triples DataFrame.
+
+`queries()` / `oracle_sql()` cover the SURVEY.md §2 operator inventory: each
+key names the §2 row(s) it exercises; implementations live in
+robokop_build_spark/plans/benchmark_queries.py. Entries without an oracle
+(kg_end_to_end, kg_span_roundtrip, multimodal_media_features, dedup_simhash,
+ann_embedding_neardup) are non-SQL-expressible (CC fixpoint, Arrow UDFs,
+driver-side LSH plane constants) and rely on the pytest golden gates in
+tests/ instead.
 """
 
 from __future__ import annotations
@@ -13,26 +19,17 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from robokop_build_spark.plans.benchmark_queries import ORACLES, QUERIES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query at sf0.001; driver checks rows>0."""
+    return QUERIES["kg_end_to_end"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

@@ -122,9 +122,13 @@ def minhash_lsh_pairs(
     slice). Pairs sharing ≥1 band key are candidates (dedup'd).
     """
     r = num_hashes // bands
-    sig = docs.select(
-        F.col(id_col).alias("id"), minhash_signature(text_col, k, num_hashes).alias("sig")
-    ).filter(F.size("sig") > 0)
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
+    ).filter(F.size("sh") > 0)
+    one = lambda i: F.array_min(  # noqa: E731
+        F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
+    )
+    sig = sh.select("id", F.array(*[one(i) for i in range(num_hashes)]).alias("sig"))
     banded = sig.select(
         "id",
         F.explode(

@@ -117,8 +117,12 @@ def chi2_2x2(df: DataFrame, a: str, b: str, c: str, n: str, yates: bool = True):
     exp = [r1 * c1 / N, r1 * c2 / N, r2 * c1 / N, r2 * c2 / N]
     obs = [o11, o12, o21, o22]
     corr = F.lit(0.5) if yates else F.lit(0.0)
+    # degenerate margins (expected cell = 0) contribute 0, not ±inf/error
     terms = [
-        F.pow(F.greatest(F.abs(o - e) - corr, F.lit(0.0)), F.lit(2.0)) / e
+        F.when(
+            e > 0,
+            F.pow(F.greatest(F.abs(o - e) - corr, F.lit(0.0)), F.lit(2.0)) / e,
+        ).otherwise(F.lit(0.0))
         for o, e in zip(obs, exp)
     ]
     chi2 = terms[0] + terms[1] + terms[2] + terms[3]

@@ -1,0 +1,821 @@
+"""Headline query suite: one entry per operator family from SURVEY.md §2,
+each as (a) a PySpark DataFrame callable over the driver parquet tables and
+(b) an exactly-equivalent DuckDB SQL oracle (oracle_sql). Names cite the §2
+row ids they cover.
+
+Determinism rules for the value-hash compare:
+- every computed column aliased identically in Spark and SQL
+- doubles rounded explicitly (same rounding both sides); money summed as
+  DECIMAL (exact) then cast
+- per-group rankings always carry a unique tie-break key
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as SIM
+from ..operators import text as T
+from ..operators.support import chi2_2x2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# --------------------------------------------------------------------------
+# KG pipeline entries (own interleaved-span fixtures; rows-only checks)
+# --------------------------------------------------------------------------
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return 0.001
+
+
+def _fixture_dir_for(sf_dir: str) -> str:
+    from ..datagen.fixtures import ensure_fixtures
+
+    sf = _sf_of(sf_dir)
+    d = f"/tmp/robokop_fixtures/sf{sf}"
+    return ensure_fixtures(d, sf)
+
+
+def kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full extract→link→canonicalize→materialize DGX build over
+    the interleaved-span corpus (BASELINE.json north_star). Non-SQL (CC
+    fixpoint + Arrow UDF) → rows-only check; exactness is covered by the
+    pytest golden gate (tests/test_pipeline_e2e.py)."""
+    from .pipeline import run_pipeline
+
+    sf = _sf_of(sf_dir)
+    fx = _fixture_dir_for(sf_dir)
+    work = f"/tmp/robokop_work/sf{sf}"
+    out = run_pipeline(spark, fx, work)
+    return out["triples"].select(
+        "subj", "pred", "obj", "edge_source", "input_identifiers"
+    )
+
+
+def kg_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4 span-sequence-equality invariant: docs whose spans fail to
+    round-trip through posexplode→reassemble. Must be empty-ish (returns a
+    single count row; 0 = invariant holds)."""
+    from ..operators.extract import explode_spans, reassemble_spans
+
+    docs = _t(spark, _fixture_dir_for(sf_dir), "documents").filter(
+        F.size("spans") > 0
+    )
+    back = reassemble_spans(explode_spans(docs))
+    bad = docs.select("doc_id", "spans").exceptAll(back.select("doc_id", "spans"))
+    return bad.agg(F.count(F.lit(1)).alias("mismatch_count"))
+
+
+def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing over the interleaved corpus media spans (binary
+    payload → Arrow-batched feature extraction, stub decode)."""
+    from ..operators.extract import explode_spans
+    from ..operators.multimodal import attach_media_payloads, extract_media_features
+
+    spans = explode_spans(_t(spark, _fixture_dir_for(sf_dir), "documents"))
+    feats = extract_media_features(attach_media_payloads(spans), fake=True)
+    return feats.select(
+        "doc_id", "span_pos", "media_ref", F.round(F.element_at("feature", 1), 6).alias("f0")
+    )
+
+
+# --------------------------------------------------------------------------
+# Relational / §2 operator queries over the driver tables (DuckDB oracles)
+# --------------------------------------------------------------------------
+
+def a1_count_by_lang(spark, sf_dir):
+    """A1 count-nodes-by-type shape: groupBy + count (map-side combine)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("total_chars"))
+    )
+
+
+A1_SQL = """
+SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents GROUP BY lang
+"""
+
+
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape (A4/A8): wide agg with exact decimal sums; verifies
+    map-side partial aggregation end-to-end."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("count_order"),
+            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            F.round(
+                F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
+            ).alias("avg_qty"),
+        )
+    )
+
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       count(*) AS count_order,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def j5_region_revenue(spark, sf_dir):
+    """Multi-way dim join (J-chain): orders⋈customer⋈nation⋈region, dims
+    broadcast, single shuffle for the final agg."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("revenue"),
+        )
+    )
+
+
+J5_SQL = """
+SELECT r_name, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+def j1_alias_resolution(spark, sf_dir):
+    """J1/J10 normalization-join shape: fact left-joins a broadcast alias
+    map; unmatched keys keep their own id via coalesce."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_nationkey") < 15)  # some misses
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey, "left")
+    return joined.select(
+        "c_custkey",
+        F.coalesce("n_name", F.concat(F.lit("UNKNOWN:"), F.col("c_nationkey"))).alias(
+            "resolved"
+        ),
+    )
+
+
+J1_SQL = """
+SELECT c_custkey,
+       coalesce(n_name, 'UNKNOWN:' || CAST(c_nationkey AS VARCHAR)) AS resolved
+FROM customer LEFT JOIN (SELECT * FROM nation WHERE n_nationkey < 15) n
+  ON c_nationkey = n_nationkey
+"""
+
+
+def j3_multiedge_dedup(spark, sf_dir):
+    """J3 edge-dedup shape: distinct on the composite edge key before
+    counting (dropDuplicates on (subj,obj,source,pred) analog)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select("l_orderkey", "l_partkey", "l_suppkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_distinct_edges"))
+    )
+
+
+J3_SQL = """
+SELECT l_orderkey, count(*) AS n_distinct_edges
+FROM (SELECT DISTINCT l_orderkey, l_partkey, l_suppkey FROM lineitem)
+GROUP BY l_orderkey
+"""
+
+
+def j4_upper_triangle_pairs(spark, sf_dir):
+    """J4/U4/F9: unordered all-pairs (upper triangle, a<b) within a group —
+    the support-pair generator shape (builder/builder.py:364-370)."""
+    n1 = _t(spark, sf_dir, "nation").alias("a")
+    n2 = _t(spark, sf_dir, "nation").alias("b")
+    return (
+        n1.join(n2, F.col("a.n_regionkey") == F.col("b.n_regionkey"))
+        .filter(F.col("a.n_nationkey") < F.col("b.n_nationkey"))
+        .select(
+            F.col("a.n_regionkey").alias("region"),
+            F.col("a.n_name").alias("nation_a"),
+            F.col("b.n_name").alias("nation_b"),
+        )
+    )
+
+
+J4_SQL = """
+SELECT a.n_regionkey AS region, a.n_name AS nation_a, b.n_name AS nation_b
+FROM nation a JOIN nation b
+  ON a.n_regionkey = b.n_regionkey AND a.n_nationkey < b.n_nationkey
+"""
+
+
+def j6_user_cooccurrence(spark, sf_dir):
+    """J6/J7 shared-article co-occurrence shape: (term,article) self-join on
+    the article key + pair agg — here (user,event_type) sharing users."""
+    ue = _t(spark, sf_dir, "events").select("user_id", "event_type").distinct()
+    a, b = ue.alias("a"), ue.alias("b")
+    return (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared_users"))
+    )
+
+
+J6_SQL = """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_shared_users
+FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+GROUP BY 1, 2
+"""
+
+
+def a5_chi2_cooccurrence(spark, sf_dir):
+    """A5 chi² contingency from marginals + F8 under-representation filter +
+    W3 sort — the CDW CooccurChi2 notebook as closed-form columns."""
+    ev = _t(spark, sf_dir, "events")
+    ue = ev.select("user_id", "event_type").distinct()
+    total = ue.select("user_id").distinct().count()
+    marg = ue.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = ue.alias("a"), ue.alias("b")
+    both = (
+        a.join(b, "user_id")
+        .filter(F.col("a.event_type") < F.col("b.event_type"))
+        .groupBy(
+            F.col("a.event_type").alias("type_a"), F.col("b.event_type").alias("type_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ma = marg.select(F.col("event_type").alias("type_a"), F.col("cnt").alias("cnt_a"))
+    mb = marg.select(F.col("event_type").alias("type_b"), F.col("cnt").alias("cnt_b"))
+    df = both.join(ma, "type_a").join(mb, "type_b").withColumn("n", F.lit(total))
+    chi2, expected = chi2_2x2(df, "cnt_a", "cnt_b", "n_both", "n", yates=True)
+    return (
+        df.select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "cnt_a",
+            "cnt_b",
+            F.round(expected, 6).alias("expected"),
+            F.round(chi2, 6).alias("chi2"),
+            (expected > F.col("n_both")).alias("under_represented"),
+        )
+        .orderBy(F.desc("chi2"), "type_a", "type_b")
+    )
+
+
+A5_SQL = """
+WITH ue AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT count(DISTINCT user_id) AS n FROM ue),
+marg AS (SELECT event_type, count(*) AS cnt FROM ue GROUP BY 1),
+both_t AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_both
+  FROM ue a JOIN ue b ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY 1, 2
+),
+j AS (
+  SELECT type_a, type_b, n_both,
+         ma.cnt AS cnt_a, mb.cnt AS cnt_b, tot.n AS n
+  FROM both_t
+  JOIN marg ma ON ma.event_type = type_a
+  JOIN marg mb ON mb.event_type = type_b
+  CROSS JOIN tot
+),
+c AS (
+  SELECT type_a, type_b, n_both, cnt_a, cnt_b,
+    CAST(n_both AS DOUBLE) AS o11,
+    CAST(cnt_a AS DOUBLE) - CAST(n_both AS DOUBLE) AS o12,
+    CAST(cnt_b AS DOUBLE) - CAST(n_both AS DOUBLE) AS o21,
+    CAST(n AS DOUBLE) - CAST(cnt_a AS DOUBLE) - CAST(cnt_b AS DOUBLE) + CAST(n_both AS DOUBLE) AS o22,
+    CAST(n AS DOUBLE) AS n
+  FROM j
+),
+e AS (
+  SELECT *,
+    (o11+o12)*(o11+o21)/n AS e11, (o11+o12)*(o12+o22)/n AS e12,
+    (o21+o22)*(o11+o21)/n AS e21, (o21+o22)*(o12+o22)/n AS e22
+  FROM c
+)
+SELECT type_a, type_b, n_both, cnt_a, cnt_b,
+  round(e11, 6) AS expected,
+  round(
+    (CASE WHEN e11 > 0 THEN pow(greatest(abs(o11-e11)-0.5, 0.0), 2.0)/e11 ELSE 0.0 END) +
+    (CASE WHEN e12 > 0 THEN pow(greatest(abs(o12-e12)-0.5, 0.0), 2.0)/e12 ELSE 0.0 END) +
+    (CASE WHEN e21 > 0 THEN pow(greatest(abs(o21-e21)-0.5, 0.0), 2.0)/e21 ELSE 0.0 END) +
+    (CASE WHEN e22 > 0 THEN pow(greatest(abs(o22-e22)-0.5, 0.0), 2.0)/e22 ELSE 0.0 END), 6) AS chi2,
+  e11 > n_both AS under_represented
+FROM e
+ORDER BY chi2 DESC, type_a, type_b
+"""
+
+
+def j8_lookup_fallback(spark, sf_dir):
+    """J8 pair-lookup-with-fallback shape: left join vs a small dim,
+    sentinel fallback columns via coalesce (the '<11' path)."""
+    dim = spark.createDataFrame(
+        [("click", "interaction"), ("view", "interaction"), ("purchase", "conversion")],
+        ["event_type", "category"],
+    )
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.join(F.broadcast(dim), "event_type", "left")
+        .groupBy(F.coalesce("category", F.lit("<other>")).alias("category"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(18,2)")).cast("double"), 2).alias(
+                "total_value"
+            ),
+        )
+    )
+
+
+J8_SQL = """
+WITH dim(event_type, category) AS (
+  VALUES ('click','interaction'), ('view','interaction'), ('purchase','conversion')
+)
+SELECT coalesce(category, '<other>') AS category,
+       count(*) AS n_events,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_value
+FROM events LEFT JOIN dim USING (event_type)
+GROUP BY 1
+"""
+
+
+def j9_argmax_per_group(spark, sf_dir):
+    """A6/J9 argmax shape: best row per group with deterministic tie-break
+    (window rank over (score desc, unique key))."""
+    p = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(F.desc("p_retailprice"), F.asc("p_partkey"))
+    return (
+        p.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("p_brand", "p_partkey", F.round("p_retailprice", 2).alias("best_price"))
+    )
+
+
+J9_SQL = """
+SELECT p_brand, p_partkey, round(p_retailprice, 2) AS best_price
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rn
+  FROM part
+) WHERE rn = 1
+"""
+
+
+def w2_topk_per_group(spark, sf_dir):
+    """W2 per-group LIMIT shape: top-3 orders per customer."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "rank", "o_orderkey", F.round("o_totalprice", 2).alias("price"))
+    )
+
+
+W2_SQL = """
+SELECT o_custkey, rank, o_orderkey, round(o_totalprice, 2) AS price
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, row_number() OVER (
+    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+def u2_union_seeds(spark, sf_dir):
+    """U2 seed-list union shape: union + distinct across sources."""
+    c = _t(spark, sf_dir, "customer").select(F.col("c_name").alias("name"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_name").alias("name"))
+    return c.union(s).distinct()
+
+
+U2_SQL = """
+SELECT c_name AS name FROM customer
+UNION
+SELECT s_name AS name FROM supplier
+"""
+
+
+def a2_collect_sorted_set(spark, sf_dir):
+    """A2/U3/W1 synonym-set union shape: per-group sorted distinct set,
+    emitted as a joined string for engine-portable comparison."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.concat_ws(",", F.array_sort(F.collect_set("c_mktsegment"))).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+A2_SQL = """
+SELECT c_nationkey,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
+       count(*) AS n_customers
+FROM customer GROUP BY c_nationkey
+"""
+
+
+def f1_prefix_filter(spark, sf_dir):
+    """F1/F2 prefix filter shape: drop rows whose key starts with a prefix
+    (the reference drops HP-prefixed MONDO hits)."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.filter(~F.col("source").startswith("src1"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+F1_SQL = """
+SELECT source, count(*) AS n FROM documents
+WHERE source NOT LIKE 'src1%' GROUP BY source
+"""
+
+
+def f3_stopword_tokens(spark, sf_dir):
+    """F3/X5 tokenize + length + stopword anti-filter, top-40 tokens."""
+    stop = ["the", "a", "and", "of", "to"]
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.lower("text"), " ")).alias("tok"))
+    return (
+        toks.filter((F.length("tok") > 2) & (~F.col("tok").isin(stop)))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), "tok")
+        .limit(40)
+    )
+
+
+F3_SQL = """
+SELECT tok, count(*) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS tok FROM documents)
+WHERE length(tok) > 2 AND tok NOT IN ('the','a','and','of','to')
+GROUP BY tok ORDER BY n DESC, tok LIMIT 40
+"""
+
+
+def x_string_functions(spark, sf_dir):
+    """X1-X6/X9 scalar-function parity: prefix extraction, un_curie, munge,
+    PMID construction, case ops."""
+    d = _t(spark, sf_dir, "documents")
+    curie = F.concat_ws(":", F.col("source"), F.col("doc_id"))
+    return d.select(
+        "doc_id",
+        curie.alias("curie"),
+        F.split(curie, ":")[0].alias("prefix"),  # X1 get prefix
+        F.substring_index(curie, ":", -1).alias("local_id"),  # X2 un_curie
+        F.regexp_replace(curie, ":", "_").alias("munged"),  # X3 label munge
+        F.concat(F.lit("PMID:"), F.substring_index("source", "c", -1)).alias("pmid"),  # X4
+        F.upper("lang").alias("lang_uc"),  # X6
+        F.format_string("%s_%05d", "lang", F.col("doc_id").cast("int")).alias("fkey"),  # X9
+    )
+
+
+X_SQL = """
+SELECT doc_id,
+       source || ':' || CAST(doc_id AS VARCHAR) AS curie,
+       string_split(source || ':' || CAST(doc_id AS VARCHAR), ':')[1] AS prefix,
+       string_split(source || ':' || CAST(doc_id AS VARCHAR), ':')[-1] AS local_id,
+       replace(source || ':' || CAST(doc_id AS VARCHAR), ':', '_') AS munged,
+       'PMID:' || string_split(source, 'c')[-1] AS pmid,
+       upper(lang) AS lang_uc,
+       printf('%s_%05d', lang, CAST(doc_id AS INT)) AS fkey
+FROM documents
+"""
+
+
+def x7_epoch_json(spark, sf_dir):
+    """X7 epoch conversion + JSON property extraction (props map)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.unix_timestamp("ts").alias("epoch_sec"),
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+X7_SQL = """
+SELECT event_id,
+       CAST(floor(epoch(ts)) AS BIGINT) AS epoch_sec,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+def s9_symmetrized_pairs(spark, sf_dir):
+    """S9 symmetrize shape: key both (a,b) and (b,a) (builder/cdw.py:48-62)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    sym = li.union(
+        li.select(F.col("l_suppkey").alias("l_partkey"), F.col("l_partkey").alias("l_suppkey"))
+    ).distinct()
+    return sym.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+S9_SQL = """
+WITH d AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+sym AS (
+  SELECT l_partkey, l_suppkey FROM d
+  UNION
+  SELECT l_suppkey AS l_partkey, l_partkey AS l_suppkey FROM d
+)
+SELECT l_partkey, count(*) AS n_pairs FROM sym GROUP BY l_partkey
+"""
+
+
+# --------------------------------------------------------------------------
+# Training-data ops over driver documents/embeddings (DuckDB oracles)
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark, sf_dir):
+    return D.exact_duplicates(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(text) AS content_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+def dedup_ngram_jaccard(spark, sf_dir):
+    return D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.12
+    )
+
+
+DEDUP_JACCARD_SQL = """
+WITH sh AS (
+  SELECT DISTINCT doc_id AS id, unnest(shingles) AS shingle
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(t)-2, 0)+1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS shingles
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+),
+sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY id),
+shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_shared
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.id = id_a
+JOIN sizes sb ON sb.id = id_b
+WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.12
+"""
+
+
+def dedup_minhash_lsh(spark, sf_dir):
+    return D.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, num_hashes=16, bands=8
+    )
+
+
+DEDUP_MINHASH_SQL = """
+WITH sig AS (
+  SELECT doc_id AS id,
+         list_transform(range(0, 16), h ->
+           list_min(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+  FROM (
+    SELECT doc_id,
+           list_transform(range(1, greatest(len(t)-2, 0)+1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+  )
+  WHERE len(sh) > 0
+),
+banded AS (
+  SELECT id, band,
+         md5(sig[band*2+1] || '|' || sig[band*2+2]) AS bkey
+  FROM sig, (SELECT unnest(range(0, 8)) AS band)
+)
+SELECT DISTINCT x.id AS id_a, y.id AS id_b
+FROM banded x JOIN banded y
+  ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+"""
+
+
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-pairs (Arrow UDF; no SQL twin → rows-only check)."""
+    sim = D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    return D.simhash_near_pairs(sim, max_hamming=16)
+
+
+def ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.brute_force_topk(emb, queries, "vec_id", "embedding", k=5)
+
+
+ANN_SQL = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 10),
+c AS (SELECT vec_id AS neighbor_id, embedding AS nvec FROM embeddings),
+scored AS (
+  SELECT query_id, neighbor_id,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        i -> CAST(qvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           i -> CAST(nvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (x, y) -> x + y)))
+    , 6) AS score
+  FROM c CROSS JOIN q
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= 5
+"""
+
+
+def ann_embedding_neardup(spark, sf_dir):
+    """LSH-bucketed embedding near-dup (plane constants driver-side; no SQL
+    twin → rows-only check)."""
+    return SIM.embedding_near_duplicates(
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.55, dim=64
+    )
+
+
+def text_langid(spark, sf_dir):
+    return T.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def _sql_stop_hits(words: list[str]) -> str:
+    lst = ", ".join(f"'{w}'" for w in words)
+    return f"len(list_filter(string_split(lower(text), ' '), t -> t IN ({lst})))"
+
+
+from ..operators.text import LANG_ORDER, LANG_STOPWORDS  # noqa: E402
+
+_HITS = {lang: _sql_stop_hits(ws) for lang, ws in LANG_STOPWORDS.items()}
+_BEST = f"greatest({_HITS['en']}, {_HITS['de']}, {_HITS['fr']}, {_HITS['es']})"
+_CASE = "CASE "
+for _lang in LANG_ORDER:
+    _CASE += f"WHEN {_HITS[_lang]} = {_BEST} THEN '{_lang}' "
+_CASE += "END"
+LANGID_SQL = f"""
+SELECT doc_id,
+       CASE WHEN {_BEST} > 0 THEN {_CASE} ELSE 'und' END AS pred_lang
+FROM documents
+"""
+
+
+def text_token_stats(spark, sf_dir):
+    return T.token_stats(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+TOKEN_SQL = """
+SELECT doc_id,
+       len(string_split(lower(text), ' ')) AS n_tokens,
+       length(text) AS n_chars,
+       CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe_est
+FROM documents
+"""
+
+
+def text_quality(spark, sf_dir):
+    return T.quality_score(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_STOP_EN = _sql_stop_hits(LANG_STOPWORDS["en"])
+QUALITY_SQL = f"""
+WITH b AS (
+  SELECT doc_id,
+    len(string_split(lower(text), ' ')) AS n_tok,
+    length(text) AS n_chars,
+    length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS punct,
+    {_STOP_EN} AS stop
+  FROM documents
+),
+r AS (
+  SELECT doc_id,
+    CASE WHEN n_tok > 0 THEN CAST(n_chars AS DOUBLE)/n_tok ELSE 0.0 END AS mean_token_len,
+    CASE WHEN n_chars > 0 THEN CAST(punct AS DOUBLE)/n_chars ELSE 0.0 END AS punct_ratio,
+    CASE WHEN n_tok > 0 THEN CAST(stop AS DOUBLE)/n_tok ELSE 0.0 END AS stop_ratio,
+    n_tok
+  FROM b
+)
+SELECT doc_id,
+  round(mean_token_len, 6) AS mean_token_len,
+  round(punct_ratio, 6) AS punct_ratio,
+  round(stop_ratio, 6) AS stopword_ratio,
+  round(
+    least(CAST(n_tok AS DOUBLE)/100.0, 1.0)*0.4
+    + least(stop_ratio*5.0, 1.0)*0.4
+    + (1.0 - least(punct_ratio*10.0, 1.0))*0.2, 6) AS quality
+FROM r
+"""
+
+
+def text_fingerprint(spark, sf_dir):
+    return T.fingerprint(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+QUERIES = {
+    "kg_end_to_end": kg_end_to_end,
+    "kg_span_roundtrip": kg_span_roundtrip,
+    "multimodal_media_features": multimodal_media_features,
+    "a1_count_by_lang": a1_count_by_lang,
+    "q1_pricing_summary": q1_pricing_summary,
+    "j5_region_revenue": j5_region_revenue,
+    "j1_alias_resolution": j1_alias_resolution,
+    "j3_multiedge_dedup": j3_multiedge_dedup,
+    "j4_upper_triangle_pairs": j4_upper_triangle_pairs,
+    "j6_user_cooccurrence": j6_user_cooccurrence,
+    "a5_chi2_cooccurrence": a5_chi2_cooccurrence,
+    "j8_lookup_fallback": j8_lookup_fallback,
+    "j9_argmax_per_group": j9_argmax_per_group,
+    "w2_topk_per_group": w2_topk_per_group,
+    "u2_union_seeds": u2_union_seeds,
+    "a2_collect_sorted_set": a2_collect_sorted_set,
+    "f1_prefix_filter": f1_prefix_filter,
+    "f3_stopword_tokens": f3_stopword_tokens,
+    "x_string_functions": x_string_functions,
+    "x7_epoch_json": x7_epoch_json,
+    "s9_symmetrized_pairs": s9_symmetrized_pairs,
+    "dedup_exact": dedup_exact,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_simhash": dedup_simhash,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_embedding_neardup": ann_embedding_neardup,
+    "text_langid": text_langid,
+    "text_token_stats": text_token_stats,
+    "text_quality": text_quality,
+    "text_fingerprint": text_fingerprint,
+}
+
+ORACLES = {
+    "a1_count_by_lang": A1_SQL,
+    "q1_pricing_summary": Q1_SQL,
+    "j5_region_revenue": J5_SQL,
+    "j1_alias_resolution": J1_SQL,
+    "j3_multiedge_dedup": J3_SQL,
+    "j4_upper_triangle_pairs": J4_SQL,
+    "j6_user_cooccurrence": J6_SQL,
+    "a5_chi2_cooccurrence": A5_SQL,
+    "j8_lookup_fallback": J8_SQL,
+    "j9_argmax_per_group": J9_SQL,
+    "w2_topk_per_group": W2_SQL,
+    "u2_union_seeds": U2_SQL,
+    "a2_collect_sorted_set": A2_SQL,
+    "f1_prefix_filter": F1_SQL,
+    "f3_stopword_tokens": F3_SQL,
+    "x_string_functions": X_SQL,
+    "x7_epoch_json": X7_SQL,
+    "s9_symmetrized_pairs": S9_SQL,
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "ann_cosine_topk": ANN_SQL,
+    "text_langid": LANGID_SQL,
+    "text_token_stats": TOKEN_SQL,
+    "text_quality": QUALITY_SQL,
+    "text_fingerprint": FINGERPRINT_SQL,
+}
