@@ -1,0 +1,104 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+The flagship number is the end-to-end KG build (extract→link→canonicalize→
+materialize) into a FRESH workdir (checkpoints disabled by fresh dir so the
+timing is honest); triples/sec is derived and reported alongside.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "j5_region_revenue",
+    "j6_user_cooccurrence",
+    "a5_chi2_cooccurrence",
+    "j9_argmax_per_group",
+    "f3_stopword_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf_label = os.path.basename(os.path.normpath(sf_dir)).replace("sf", "")
+    try:
+        sf = float(sf_label)
+    except ValueError:
+        sf = 0.1
+
+    from robokop_build_spark.session import get_spark
+
+    spark = get_spark(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=max(int(cpus), 16),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from robokop_build_spark.plans.benchmark_queries import (
+        QUERIES,
+        _fixture_dir_for,
+    )
+    from robokop_build_spark.plans.pipeline import run_pipeline
+
+    # fixture generation is one-time setup, excluded from timings
+    fx = _fixture_dir_for(sf_dir)
+
+    times: dict[str, float] = {}
+
+    # flagship: full KG build into a fresh workdir
+    work = f"/tmp/robokop_bench_work/sf{sf}"
+    shutil.rmtree(work, ignore_errors=True)
+    t0 = time.time()
+    out = run_pipeline(spark, fx, work)
+    n_triples = out["triples"].count()
+    kg_sec = time.time() - t0
+    times["kg_end_to_end"] = round(kg_sec, 3)
+
+    for name in BENCH_QUERIES:
+        q = QUERIES[name]
+        t0 = time.time()
+        q(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_sec, 2),
+                "cpus": int(cpus),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
