@@ -25,7 +25,7 @@ from collections import defaultdict
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..operators.matching import build_trie, detect, featurize, pick_candidate
+from ..operators.matching import build_trie, detect, link_mentions
 
 SUPPORT_PRED = "biolink:correlated_with"
 SUPPORT_SOURCE = "omnicorp.term_to_term"
@@ -100,9 +100,7 @@ def compute_golden(fixture_dir: str):
             ments = detect(span["text"], trie)
             if not ments:
                 continue
-            ctx = featurize(span["text"])
-            for m in ments:
-                cand, _ = pick_candidate(m.candidates, ctx, emb_map)
+            for _m, cand, _score in link_mentions(span["text"], ments, emb_map):
                 rep = rep_map.get(cand.curie, cand.curie)
                 doc_ents[row["doc_id"]].add((rep, cand.curie))
 

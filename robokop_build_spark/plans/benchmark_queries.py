@@ -628,7 +628,7 @@ FROM banded x JOIN banded y
 def dedup_simhash(spark, sf_dir):
     """SimHash near-pairs (Arrow UDF; no SQL twin → rows-only check)."""
     sim = D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return D.simhash_near_pairs(sim, max_hamming=16)
+    return D.simhash_near_pairs(sim, max_hamming=2)
 
 
 def ann_cosine_topk(spark, sf_dir):

@@ -98,7 +98,10 @@ class KGPipeline:
         def _triples() -> DataFrame:
             pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
             raw = expand_path(doc_entities, pm_rep, cfg.path_types)
-            triples = aggregate_triples(raw)
+            # materialize once: the support stage derives graph_nodes from
+            # triples AND unions them back — without this the whole
+            # expand+aggregate DAG executes three times
+            triples = aggregate_triples(raw).localCheckpoint(eager=True)
             if cfg.with_support:
                 graph_nodes = (
                     triples.select(F.col("subj").alias("id"))

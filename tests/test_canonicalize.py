@@ -2,49 +2,54 @@
 hubs, long chains — deterministic min representative at any parallelism
 (reference analog: KnowledgeGraph.merge, builder/builder.py:136-167)."""
 
+import pytest
+
 from robokop_build_spark.operators.canonicalize import (
     connected_components,
     resolve_aliases,
 )
 
+pytestmark = pytest.mark.parametrize("strategy", ["local", "distributed"])
 
-def _cc(spark, pairs):
+
+def _cc(spark, pairs, strategy="distributed"):
     df = spark.createDataFrame(pairs, ["src", "dst"])
     return {
-        r["curie"]: r["rep"] for r in connected_components(df).collect()
+        r["curie"]: r["rep"]
+        for r in connected_components(df, strategy=strategy).collect()
     }
 
 
-def test_chain(spark):
-    got = _cc(spark, [("B", "C"), ("C", "D"), ("A", "B")])
+def test_chain(spark, strategy):
+    got = _cc(spark, [("B", "C"), ("C", "D"), ("A", "B")], strategy)
     assert got == {"A": "A", "B": "A", "C": "A", "D": "A"}
 
 
-def test_ring(spark):
-    got = _cc(spark, [("X", "Y"), ("Y", "Z"), ("Z", "X")])
+def test_ring(spark, strategy):
+    got = _cc(spark, [("X", "Y"), ("Y", "Z"), ("Z", "X")], strategy)
     assert got == {"X": "X", "Y": "X", "Z": "X"}
 
 
-def test_two_components_and_selfloop(spark):
-    got = _cc(spark, [("A", "B"), ("C", "C"), ("D", "C")])
+def test_two_components_and_selfloop(spark, strategy):
+    got = _cc(spark, [("A", "B"), ("C", "C"), ("D", "C")], strategy)
     assert got == {"A": "A", "B": "A", "C": "C", "D": "C"}
 
 
-def test_long_chain_converges_logarithmically(spark):
+def test_long_chain_converges_logarithmically(spark, strategy):
     n = 40
     pairs = [(f"N{i:03d}", f"N{i + 1:03d}") for i in range(n)]
-    got = _cc(spark, pairs)
+    got = _cc(spark, pairs, strategy)
     assert set(got.values()) == {"N000"}
     assert len(got) == n + 1
 
 
-def test_hub_star(spark):
+def test_hub_star(spark, strategy):
     pairs = [(f"ALIAS:{i:04d}", "HUB:0") for i in range(200)]
-    got = _cc(spark, pairs)
+    got = _cc(spark, pairs, strategy)
     assert all(v == "ALIAS:0000" for v in got.values())
 
 
-def test_resolve_aliases_broadcast_vs_salted(spark):
+def test_resolve_aliases_broadcast_vs_salted(spark, strategy):
     import pyspark.sql.functions as F
 
     rep_map = spark.createDataFrame(

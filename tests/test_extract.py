@@ -49,8 +49,7 @@ def test_mentions_match_oracle_matcher(spark, fixture_dir):
     from robokop_build_spark.operators.matching import (
         build_trie,
         detect,
-        featurize,
-        pick_candidate,
+        link_mentions,
     )
     import numpy as np
 
@@ -87,9 +86,7 @@ def test_mentions_match_oracle_matcher(spark, fixture_dir):
             ments = detect(span["text"], trie)
             if not ments:
                 continue
-            ctx = featurize(span["text"])
-            for m in ments:
-                cand, _ = pick_candidate(m.candidates, ctx, emb_map)
+            for m, cand, _ in link_mentions(span["text"], ments, emb_map):
                 want.add((row["doc_id"], pos, m.start, cand.curie))
     assert got == want
     assert len(got) > 1000  # fixture actually produces volume
