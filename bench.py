@@ -77,11 +77,15 @@ def main() -> None:
     kg_sec = time.time() - t0
     times["kg_end_to_end"] = round(kg_sec, 3)
 
+    jvm_gc = spark.sparkContext._jvm.System.gc
     for name in BENCH_QUERIES:
         q = QUERIES[name]
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # keep queries independent: drop cached state between measurements
+        spark.catalog.clearCache()
+        jvm_gc()
 
     total = round(sum(times.values()), 3)
     print(

@@ -143,19 +143,49 @@ def connected_components(
     )
 
 
-def canonical_map(normalization: DataFrame) -> DataFrame:
+def canonical_map(normalization: DataFrame, strategy: str = "auto") -> DataFrame:
     """normalization(alias, canonical, node_type, name) →
     (curie, rep, node_type, name): every known curie mapped to its
     deterministic representative, carrying component metadata (min name/type
-    for determinism; fixture components are metadata-consistent)."""
-    reps = connected_components(normalization, src="alias", dst="canonical")
-    meta = (
+    for determinism; fixture components are metadata-consistent).
+
+    strategy='local': single collect + driver union-find + one
+    createDataFrame — the normalization map is a dimension table, and the
+    distributed path costs ~6 scheduler round-trips per CC iteration that
+    dwarf the compute at this size. 'distributed' chains the large-star/
+    small-star CC with joins (the 10^12-alias path)."""
+    if strategy == "auto":
+        strategy = "local" if normalization.count() <= 2_000_000 else "distributed"
+    if strategy == "local":
+        rows = normalization.select("alias", "canonical", "node_type", "name").collect()
+        rep_map = _local_union_find([(r["alias"], r["canonical"]) for r in rows])
+        # per-field min, independently, to match the distributed agg exactly
+        meta: dict[str, list[str]] = {}
+        for r in rows:
+            rep = rep_map[r["alias"]]
+            cur = meta.get(rep)
+            if cur is None:
+                meta[rep] = [r["node_type"], r["name"]]
+            else:
+                cur[0] = min(cur[0], r["node_type"])
+                cur[1] = min(cur[1], r["name"])
+        out = [
+            (curie, rep, meta[rep][0], meta[rep][1])
+            for curie, rep in sorted(rep_map.items())
+        ]
+        return normalization.sparkSession.createDataFrame(
+            out, ["curie", "rep", "node_type", "name"]
+        )
+    reps = connected_components(
+        normalization, src="alias", dst="canonical", strategy="distributed"
+    )
+    meta_df = (
         normalization.select(F.col("alias").alias("curie"), "node_type", "name")
         .join(reps, "curie")
         .groupBy("rep")
         .agg(F.min("node_type").alias("node_type"), F.min("name").alias("name"))
     )
-    return reps.join(meta, "rep").select("curie", "rep", "node_type", "name")
+    return reps.join(meta_df, "rep").select("curie", "rep", "node_type", "name")
 
 
 def resolve_aliases(

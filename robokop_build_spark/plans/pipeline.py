@@ -41,6 +41,7 @@ class PipelineConfig:
     norm_join_strategy: str = "broadcast"  # 'salted' when map > broadcast budget
     nsalt: int = 8
     with_support: bool = True
+    cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
 
 
 class KGPipeline:
@@ -67,7 +68,9 @@ class KGPipeline:
             ),
         )
 
-        rep_map = ckpt.run_stage("rep_map", lambda: canonical_map(t["normalization"]))
+        rep_map = ckpt.run_stage(
+            "rep_map", lambda: canonical_map(t["normalization"], cfg.cc_strategy)
+        )
 
         def _doc_entities() -> DataFrame:
             resolved = resolve_aliases(
@@ -95,13 +98,18 @@ class KGPipeline:
 
         doc_entities = ckpt.run_stage("doc_entities", _doc_entities)
 
-        def _triples() -> DataFrame:
+        def _triples_base() -> DataFrame:
             pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
             raw = expand_path(doc_entities, pm_rep, cfg.path_types)
-            # materialize once: the support stage derives graph_nodes from
-            # triples AND unions them back — without this the whole
-            # expand+aggregate DAG executes three times
-            triples = aggregate_triples(raw).localCheckpoint(eager=True)
+            return aggregate_triples(raw)
+
+        # two commit points: the support stage derives graph_nodes from the
+        # expansion triples AND unions them back — materializing the base
+        # once means the expand DAG runs exactly once
+        triples_base = ckpt.run_stage("triples_base", _triples_base)
+
+        def _triples() -> DataFrame:
+            triples = triples_base
             if cfg.with_support:
                 graph_nodes = (
                     triples.select(F.col("subj").alias("id"))
