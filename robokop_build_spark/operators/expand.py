@@ -32,16 +32,16 @@ def expand_path(
     """Multi-hop expansion along a typed path (e.g. disease→gene→
     genetic_condition, the reference's `DGX` query, builder/builder.py:589).
 
-    doc_entities: (doc_id, rep, node_type, orig) — orig is the pre-
-    canonicalization linked CURIE, carried as lineage the way the reference
-    carries input_id on every edge (builder/builder.py:36).
+    doc_entities: (doc_id, rep, node_type, orig). The frontier carries only
+    (doc_id, rep, start_rep) — original-mention lineage is re-attached after
+    aggregation via the tiny origin map (see aggregate_triples), which keeps
+    the doc-scale rows narrow through every hop.
 
-    Returns raw (pre-aggregation) triple events:
-    (doc_id, subj, pred, obj, edge_source, orig).
+    Returns raw triple events: (doc_id, subj, pred, obj, edge_source, start).
     """
     frontier = (
         doc_entities.filter(F.col("node_type") == path_types[0])
-        .select("doc_id", "rep", "orig")
+        .select("doc_id", "rep", F.col("rep").alias("start"))
         .distinct()
     )
     hops = []
@@ -59,11 +59,11 @@ def expand_path(
                 "pred",
                 F.col("obj_rep").alias("obj"),
                 F.col("op_name").alias("edge_source"),
-                "orig",
+                "start",
             )
         )
         frontier = hop.select(
-            "doc_id", F.col("obj_rep").alias("rep"), "orig"
+            "doc_id", F.col("obj_rep").alias("rep"), "start"
         ).distinct()
     out = hops[0]
     for h in hops[1:]:
@@ -71,15 +71,46 @@ def expand_path(
     return out
 
 
-def aggregate_triples(raw: DataFrame) -> DataFrame:
+def origin_map(doc_entities: DataFrame) -> DataFrame:
+    """rep → sorted distinct pre-canonicalization mention CURIEs, corpus-
+    wide. Entity-bounded (dimension-sized) regardless of corpus size."""
+    return doc_entities.groupBy("rep").agg(
+        F.array_sort(F.collect_set("orig")).alias("origs")
+    )
+
+
+def aggregate_triples(raw: DataFrame, origins: DataFrame) -> DataFrame:
     """Dedup on (subj, pred, obj, edge_source) (builder/builder.py:218-226),
-    folding per-doc provenance into sorted publications / input_identifiers.
-    Hash-agg with map-side partial combine — one shuffle total."""
-    return raw.groupBy("subj", "pred", "obj", "edge_source").agg(
+    folding per-doc provenance into sorted publications; input_identifiers
+    (the reference's input_id lineage, builder/builder.py:36) = distinct
+    original mention CURIEs of every path-start entity that triggered the
+    edge — identical to accumulating per-row, but computed as one hash agg
+    over narrow rows + a broadcast join against the entity-bounded origin
+    map."""
+    key = ["subj", "pred", "obj", "edge_source"]
+    # pre-partition on the group key: collect_set partial aggregation can't
+    # reduce anything here (each (edge, doc) is unique), so letting the
+    # planner shuffle serialized partial set-buffers is pure overhead —
+    # shuffling the narrow raw rows instead keeps the exchange inside
+    # whole-stage codegen and fuses partial+final into one stage
+    raw = raw.repartition(*[F.col(c) for c in key])
+    agg = raw.groupBy(*key).agg(
         F.array_sort(F.collect_set(F.concat(F.lit("DOC:"), F.col("doc_id")))).alias(
             "publications"
         ),
-        F.concat_ws(",", F.array_sort(F.collect_set("orig"))).alias(
-            "input_identifiers"
-        ),
+        F.collect_set("start").alias("starts"),
     )
+    # inputs computed on narrow (edge-key, start) rows so the big
+    # publications arrays are never reshuffled; both sides are edge-bounded
+    inputs = (
+        agg.select(*key, F.explode("starts").alias("rep"))
+        .join(F.broadcast(origins), "rep")
+        .groupBy(*key)
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("origs")))),
+            ).alias("input_identifiers")
+        )
+    )
+    return agg.drop("starts").join(inputs, key)

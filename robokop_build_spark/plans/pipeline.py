@@ -20,6 +20,7 @@ from ..operators.expand import (
     aggregate_triples,
     canonicalize_predicate_map,
     expand_path,
+    origin_map,
 )
 from ..operators.extract import detect_mentions, explode_spans
 from ..operators.materialize import build_nodes, stage_metrics, validate_triples
@@ -101,7 +102,7 @@ class KGPipeline:
         def _triples_base() -> DataFrame:
             pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
             raw = expand_path(doc_entities, pm_rep, cfg.path_types)
-            return aggregate_triples(raw)
+            return aggregate_triples(raw, origin_map(doc_entities))
 
         # two commit points: the support stage derives graph_nodes from the
         # expansion triples AND unions them back — materializing the base
