@@ -17,6 +17,23 @@ from pyspark.sql import functions as F
 from .canonicalize import resolve_aliases
 
 
+def input_filter(frontier: DataFrame, node_type: str) -> DataFrame:
+    """S7 caster.input_filter analog (builder/output:368): type-guard the
+    frontier before an op join."""
+    return frontier.filter(F.col("node_type") == F.lit(node_type))
+
+
+def output_filter(expanded: DataFrame, node_type: str) -> DataFrame:
+    """S7 caster.output_filter analog: type-guard op results."""
+    return expanded.filter(F.col("node_type") == F.lit(node_type))
+
+
+def upcast(df: DataFrame, parent_type: str) -> DataFrame:
+    """S7 caster.upcast analog: widen node_type to a supertype (e.g.
+    genetic_condition → disease)."""
+    return df.withColumn("node_type", F.lit(parent_type))
+
+
 def canonicalize_predicate_map(pm: DataFrame, rep_map: DataFrame) -> DataFrame:
     """Re-key concrete edges into representative space (both endpoints)."""
     pm2 = resolve_aliases(pm, rep_map, "subj_curie", out="subj_rep")
@@ -88,12 +105,6 @@ def aggregate_triples(raw: DataFrame, origins: DataFrame) -> DataFrame:
     over narrow rows + a broadcast join against the entity-bounded origin
     map."""
     key = ["subj", "pred", "obj", "edge_source"]
-    # pre-partition on the group key: collect_set partial aggregation can't
-    # reduce anything here (each (edge, doc) is unique), so letting the
-    # planner shuffle serialized partial set-buffers is pure overhead —
-    # shuffling the narrow raw rows instead keeps the exchange inside
-    # whole-stage codegen and fuses partial+final into one stage
-    raw = raw.repartition(*[F.col(c) for c in key])
     agg = raw.groupBy(*key).agg(
         F.array_sort(F.collect_set(F.concat(F.lit("DOC:"), F.col("doc_id")))).alias(
             "publications"

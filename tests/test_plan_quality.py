@@ -1,0 +1,100 @@
+"""Physical-plan assertions: the plans we designed for are the plans Spark
+actually picks — predicate pushdown reaches the parquet scan, column
+pruning shrinks ReadSchema, dimension joins broadcast, aggregations keep
+map-side partial combine, and hot paths stay inside WholeStageCodegen.
+Guards against silent plan regressions as operators evolve."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    q = li.filter(F.col("l_returnflag") == "R").select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(l_returnflag), EqualTo(l_returnflag,R)" in plan
+
+
+def test_column_pruning_in_readschema(spark):
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    q = li.select("l_orderkey", "l_quantity")
+    plan = _plan(q)
+    assert "ReadSchema: struct<l_orderkey:bigint,l_quantity:double>" in plan
+    assert "l_extendedprice" not in plan
+
+
+def test_dimension_join_broadcasts(spark):
+    from robokop_build_spark.plans.benchmark_queries import j5_region_revenue
+
+    plan = _plan(j5_region_revenue(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_alias_resolution_broadcasts(spark):
+    from robokop_build_spark.operators.canonicalize import resolve_aliases
+
+    rep_map = spark.createDataFrame([("a", "R")], ["curie", "rep"])
+    fact = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        F.col("source").alias("curie")
+    )
+    plan = _plan(resolve_aliases(fact, rep_map, "curie"))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_aggregation_has_partial_combine(spark):
+    from robokop_build_spark.plans.benchmark_queries import q1_pricing_summary
+
+    plan = _plan(q1_pricing_summary(spark, SF_DIR))
+    # map-side combine: a partial HashAggregate below the exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange hashpartitioning(l_returnflag" in plan
+
+
+def test_text_ops_stay_in_codegen(spark):
+    from robokop_build_spark.operators.text import quality_score
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(quality_score(docs))
+    assert "WholeStageCodegen" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_salted_join_spreads_hot_keys(spark):
+    """The salted variant joins on (alias, salt): same hot alias lands in
+    nsalt different buckets."""
+    from robokop_build_spark.operators.canonicalize import resolve_aliases
+
+    rep_map = spark.createDataFrame([("hub", "R")], ["curie", "rep"])
+    fact = spark.createDataFrame(
+        [(f"d{i}", "hub") for i in range(64)], ["doc_id", "curie"]
+    )
+    out = resolve_aliases(
+        fact, rep_map, "curie", strategy="salted", nsalt=8,
+        salt_source=F.xxhash64("doc_id"),
+    )
+    assert all(r["rep"] == "R" for r in out.collect())
+    salts = (
+        fact.withColumn("s", F.pmod(F.xxhash64("doc_id"), F.lit(8)))
+        .select("s").distinct().count()
+    )
+    assert salts >= 6  # hot key actually spread across buckets
+
+
+def test_mentions_single_python_exchange(spark, fixture_dir):
+    """Doc-side data crosses the Python boundary exactly once."""
+    from robokop_build_spark.operators.extract import detect_mentions, explode_spans
+    from robokop_build_spark.sources.readers import read_fixture
+
+    docs = read_fixture(spark, fixture_dir, "documents")
+    lex = read_fixture(spark, fixture_dir, "lexicon")
+    plan = _plan(detect_mentions(explode_spans(docs), lex))
+    assert plan.count("MapInPandas") == 1
