@@ -84,7 +84,9 @@ def cdw_pair_lookup(
         .join(F.broadcast(counts_b), "icd9_b")
         .join(F.broadcast(sym), ["icd9_a", "icd9_b"], "left")
     )
+    passthrough = [c for c in pairs.columns if c not in ("icd9_a", "icd9_b")]
     return joined.select(
+        *passthrough,
         "icd9_a",
         "icd9_b",
         F.coalesce("c1", "cnt_a").alias("c1"),

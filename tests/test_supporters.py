@@ -14,7 +14,8 @@ from robokop_build_spark.sources.readers import read_fixtures
 def ctx(spark, fixture_dir):
     tables = read_fixtures(spark, fixture_dir)
     rep_map = canonical_map(tables["normalization"]).cache()
-    nodes = rep_map.select(F.col("rep").alias("id")).distinct().limit(60).cache()
+    # all canonical entities as graph nodes so sparse shared-PMID pairs exist
+    nodes = rep_map.select(F.col("rep").alias("id")).distinct().cache()
     nodes.count()
     return tables, rep_map, nodes
 
