@@ -140,7 +140,7 @@ class Vocab:
             for s in e["surfaces"]:
                 curie = e["aliases"][0] if rng.random() < 0.2 else e["curie"]
                 self.lexicon.append((s, curie, e["node_type"]))
-        n_amb = N_ENTITIES // 10
+        n_amb = N_ENTITIES // 4  # ≥10% ambiguous surfaces (FIXTURES.md §2)
         for k in range(n_amb):
             a = self.entities[rng.randrange(N_ENTITIES)]
             b = self.entities[rng.randrange(N_ENTITIES)]
@@ -283,17 +283,40 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     vocab = Vocab(seed)
     n_docs = max(10, int(sf * 1_000_000))
 
-    doc_ids, span_lists = [], []
-    for doc_id, spans in generate_documents_rows(vocab, n_docs, seed):
-        doc_ids.append(doc_id)
-        span_lists.append(spans)
-    docs_tbl = pa.table(
-        {
-            "doc_id": pa.array(doc_ids, pa.string()),
-            "spans": pa.array(span_lists, pa.list_(SPAN_PA)),
-        }
-    )
-    pq.write_table(docs_tbl, os.path.join(out_dir, "documents.parquet"))
+    # streamed chunked writing: bounded memory at any SF, and small row
+    # groups keep the single-file fixture SPLITTABLE (one giant row group =
+    # one Spark scan task no matter how many cores)
+    docs_schema = pa.schema([("doc_id", pa.string()), ("spans", pa.list_(SPAN_PA))])
+    chunk = 50_000
+    with pq.ParquetWriter(
+        os.path.join(out_dir, "documents.parquet"), docs_schema
+    ) as writer:
+        doc_ids: list[str] = []
+        span_lists: list[list] = []
+        for doc_id, spans in generate_documents_rows(vocab, n_docs, seed):
+            doc_ids.append(doc_id)
+            span_lists.append(spans)
+            if len(doc_ids) >= chunk:
+                writer.write_table(
+                    pa.table(
+                        {
+                            "doc_id": pa.array(doc_ids, pa.string()),
+                            "spans": pa.array(span_lists, pa.list_(SPAN_PA)),
+                        }
+                    ),
+                    row_group_size=10_000,
+                )
+                doc_ids, span_lists = [], []
+        if doc_ids:
+            writer.write_table(
+                pa.table(
+                    {
+                        "doc_id": pa.array(doc_ids, pa.string()),
+                        "spans": pa.array(span_lists, pa.list_(SPAN_PA)),
+                    }
+                ),
+                row_group_size=10_000,
+            )
 
     def write(name: str, cols: dict) -> None:
         pq.write_table(pa.table(cols), os.path.join(out_dir, f"{name}.parquet"))
@@ -343,11 +366,22 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     )
 
 
+FIXTURE_VERSION = 2  # bump on any generator change: invalidates /tmp caches
+
+
 def ensure_fixtures(out_dir: str, sf: float, seed: int = SEED) -> str:
-    """Generate once, reuse across test runs (marker file gates)."""
+    """Generate once, reuse across runs; regenerate when the generator
+    version changes (a stale cache would silently desync from the oracle)."""
     marker = os.path.join(out_dir, "_FIXTURES_DONE")
-    if not os.path.exists(marker):
-        generate_fixtures(out_dir, sf, seed)
-        with open(marker, "w") as f:
-            f.write(f"sf={sf} seed={seed}\n")
+    stamp = f"v={FIXTURE_VERSION} sf={sf} seed={seed}"
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read().strip() == stamp:
+                return out_dir
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+    generate_fixtures(out_dir, sf, seed)
+    with open(marker, "w") as f:
+        f.write(stamp)
     return out_dir

@@ -52,11 +52,14 @@ def kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     the interleaved-span corpus (BASELINE.json north_star). Non-SQL (CC
     fixpoint + Arrow UDF) → rows-only check; exactness is covered by the
     pytest golden gate (tests/test_pipeline_e2e.py)."""
+    from ..datagen.fixtures import FIXTURE_VERSION
     from .pipeline import run_pipeline
 
     sf = _sf_of(sf_dir)
     fx = _fixture_dir_for(sf_dir)
-    work = f"/tmp/robokop_work/sf{sf}"
+    # version-keyed workdir: checkpoints from an older fixture generation
+    # must never be resumed against newer fixtures
+    work = f"/tmp/robokop_work/sf{sf}_v{FIXTURE_VERSION}"
     out = run_pipeline(spark, fx, work)
     return out["triples"].select(
         "subj", "pred", "obj", "edge_source", "input_identifiers"

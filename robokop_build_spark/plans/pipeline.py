@@ -61,6 +61,15 @@ class KGPipeline:
             # bound shuffle width / even out input splits (north_rule:
             # explicit repartition by doc_id hash)
             docs = docs.repartition(cfg.doc_partitions, "doc_id")
+        else:
+            # under-split input (few files / giant row groups) would pin the
+            # most expensive stage (mention detection) to a handful of
+            # tasks; one doc_id-hash shuffle buys full-width parallelism.
+            # At cluster scale the input is thousands of files and this
+            # branch never triggers.
+            par = spark.sparkContext.defaultParallelism
+            if docs.rdd.getNumPartitions() < par:
+                docs = docs.repartition(par * 2, "doc_id")
 
         mentions = ckpt.run_stage(
             "mentions",

@@ -32,9 +32,16 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
         )
 
+    # shuffle/spill dirs: prefer RAM-backed tmpfs in this sandbox (the VM's
+    # virtio disk throttles in multi-minute waves and fsync latency leaks
+    # into every shuffle); a real cluster points this at local NVMe
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None:
+        local_dir = "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp/spark-local"
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        .config("spark.local.dir", local_dir)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.session.timeZone", "UTC")
         # AQE: runtime re-plan, partition coalescing, skew-join splitting —
@@ -42,6 +49,20 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's 64MB advisory target collapses this sandbox's ~100s-of-MB
+        # exchanges to a handful of reducers, capping post-shuffle
+        # parallelism below the core count; a smaller local target keeps
+        # every core engaged (cluster deployments should raise it back)
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"),
+        )
+        # local corpora arrive as a handful of files; smaller split targets
+        # keep scans wide (cluster deployments with many files can raise it)
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
         # Arrow for pandas UDF exchange and toPandas/createDataFrame.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -27,7 +27,8 @@ from robokop_build_spark.plans.pipeline import run_pipeline
 cores = int(sys.argv[1])
 sf = sys.argv[2]
 fx = f"/tmp/robokop_fixtures/sf{{sf}}"
-work = f"/tmp/robokop_scaling_work/c{{cores}}"
+workbase = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
+work = f"{{workbase}}/robokop_scaling_work/c{{cores}}"
 shutil.rmtree(work, ignore_errors=True)
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
                   shuffle_partitions=max(cores, 8))
@@ -37,6 +38,7 @@ out = run_pipeline(spark, fx, work)
 n = out["triples"].count()
 docs = spark.read.parquet(os.path.join(fx, "documents.parquet")).count()
 elapsed = time.time() - t0
+shutil.rmtree(work, ignore_errors=True)
 print(json.dumps({{"cores": cores, "sec": round(elapsed, 3),
                    "triples": n, "docs": docs,
                    "docs_per_sec": round(docs / elapsed, 2),
@@ -57,6 +59,9 @@ def run_once(cores: int, sf: str) -> dict:
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "0.1"
     repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
+    assert big == 4 * small, "north_rule compares N vs 4N"
     # ensure fixtures exist before timing
     sys.path.insert(0, REPO)
     from robokop_build_spark.datagen.fixtures import ensure_fixtures
@@ -64,28 +69,40 @@ def main() -> None:
     ensure_fixtures(f"/tmp/robokop_fixtures/sf{float(sf)}", float(sf))
     sf = str(float(sf))
 
-    results: dict[int, list[dict]] = {8: [], 32: []}
+    # warm the page cache so neither level pays cold-read penalties
+    import glob
+
+    for f in glob.glob(f"/tmp/robokop_fixtures/sf{sf}/*.parquet"):
+        with open(f, "rb") as fh:
+            while fh.read(1 << 22):
+                pass
+
+    results: dict[int, list[dict]] = {small: [], big: []}
     for r in range(repeats):
-        for cores in (8, 32):  # interleave so host drift hits both levels
+        # alternate order: the sandbox host has multi-minute performance
+        # waves, so a fixed order would systematically bias one level
+        order = (small, big) if r % 2 == 0 else (big, small)
+        for cores in order:
             res = run_once(cores, sf)
             results[cores].append(res)
             print(f"run {r} cores={cores}: {res}", file=sys.stderr)
 
     best = {c: min(rs, key=lambda x: x["sec"]) for c, rs in results.items()}
-    t8, t32 = best[8]["sec"], best[32]["sec"]
-    eff = (t8 / t32) / (32 / 8)
+    ts, tb = best[small]["sec"], best[big]["sec"]
+    eff = (ts / tb) / (big / small)
     summary = {
         "sf": float(sf),
-        "local8": best[8],
-        "local32": best[32],
-        "speedup_8_to_32": round(t8 / t32, 3),
+        f"local{small}": best[small],
+        f"local{big}": best[big],
+        "cores": [small, big],
+        "speedup": round(ts / tb, 3),
         "scaling_efficiency": round(eff, 3),
         "all_runs": results,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "scaling_latest.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_sf{sf}_{small}v{big}.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
 

@@ -1,0 +1,87 @@
+"""Fixture-generator invariants promised in FIXTURES.md §1-3: interleaved
+kinds, strictly increasing offsets, empty/duplicate-span edge cases, hub
+mention skew (~5%), lexicon ambiguity (≥10%), synonym chains and rings."""
+
+from collections import Counter
+
+import pyarrow.parquet as pq
+
+
+def _read(fixture_dir, name):
+    return pq.read_table(f"{fixture_dir}/{name}.parquet").to_pylist()
+
+
+def test_span_shape_invariants(fixture_dir):
+    docs = _read(fixture_dir, "documents")
+    kinds = Counter()
+    n_empty = 0
+    for d in docs:
+        spans = d["spans"]
+        if not spans:
+            n_empty += 1
+            continue
+        offsets = [s["offset"] for s in spans]
+        assert offsets == sorted(offsets) and len(set(offsets)) == len(offsets)
+        for s in spans:
+            kinds[s["kind"]] += 1
+            if s["kind"] in ("text", "caption"):
+                assert s["media_ref"] == "" and s["text"]
+            else:
+                assert s["media_ref"].startswith("media://") and s["text"] == ""
+    assert n_empty > 0, "empty-span docs required (edge case)"
+    assert set(kinds) == {"text", "caption", "image", "table"}
+    assert kinds["image"] > 0 and kinds["table"] > 0
+
+
+def test_duplicate_span_texts_exist(fixture_dir):
+    docs = _read(fixture_dir, "documents")
+    assert any(
+        len({(s["kind"], s["text"], s["media_ref"]) for s in d["spans"]})
+        < len(d["spans"])
+        for d in docs
+        if d["spans"]
+    )
+
+
+def test_lexicon_ambiguity_rate(fixture_dir):
+    lex = _read(fixture_dir, "lexicon")
+    by_surface = Counter(r["surface"].lower() for r in lex)
+    ambiguous = sum(1 for c in by_surface.values() if c > 1)
+    assert ambiguous / len(by_surface) >= 0.05
+
+
+def test_hub_mention_skew(fixture_dir, golden):
+    """~5% of mention occurrences hit the 3 hub entities — checked on the
+    detected-mention stream via the oracle's machinery."""
+    from robokop_build_spark.datagen.fixtures import Vocab
+    from robokop_build_spark.operators.matching import build_trie, detect
+
+    vocab = Vocab()
+    hubs = {e["curie"] for e in vocab.entities if e["is_hub"]}
+    trie = build_trie(
+        [(r["surface"], r["curie"], r["node_type"]) for r in _read(fixture_dir, "lexicon")]
+    )
+    total = hub_hits = 0
+    for d in _read(fixture_dir, "documents"):
+        for s in d["spans"] or []:
+            if s["kind"] not in ("text", "caption"):
+                continue
+            for m in detect(s["text"], trie):
+                total += 1
+                if any(c.curie in hubs for c in m.candidates):
+                    hub_hits += 1
+    assert total > 1000
+    assert 0.02 <= hub_hits / total <= 0.15
+
+
+def test_normalization_has_chains_and_rings(fixture_dir):
+    norm = _read(fixture_dir, "normalization")
+    # a chain row points alias→alias (neither endpoint is the canonical id)
+    canonicals = {r["canonical"] for r in norm if r["alias"] == r["canonical"]}
+    alias_to_alias = [
+        r for r in norm if r["canonical"] not in canonicals and r["alias"] != r["canonical"]
+    ]
+    assert alias_to_alias, "chain/ring rows must exist to exercise CC"
+    # hub components have 100+ members
+    comp_size = Counter(r["canonical"] for r in norm)
+    assert max(comp_size.values()) >= 100

@@ -64,7 +64,8 @@ def test_text_ops_stay_in_codegen(spark):
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(quality_score(docs))
-    assert "WholeStageCodegen" in plan
+    # '*(n)' is the WholeStageCodegen marker in executedPlan strings
+    assert "WholeStageCodegen" in plan or "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
