@@ -185,6 +185,29 @@ class Vocab:
                 seen_edges.add(key)
                 self.predicate_map.append((src_t, dst_t, op, pred, s["curie"], o["curie"]))
 
+        # unregistered entities: lexicon CURIEs with NO normalization-map row
+        # (exercises the unmapped-rep fallback: node_type comes from the
+        # lookup candidate, and the rep is the CURIE itself). Each gets a
+        # concrete disease→gene edge so the fallback visibly changes the
+        # expansion output — a silent-divergence guard, not dead data.
+        self.unreg_surfaces: list[str] = []
+        for k in range(2):
+            curie = f"UNREG:{9100000 + k}"
+            surface = next(sw)
+            self.lexicon.append((surface, curie, "disease"))
+            g = by_type["gene"][k]
+            self.predicate_map.append(
+                (
+                    "disease",
+                    "gene",
+                    "pharos.disease_get_gene",
+                    "biolink:gene_associated_with_condition",
+                    curie,
+                    g["curie"],
+                )
+            )
+            self.unreg_surfaces.append(surface)
+
         # embeddings for canonical + alias curies (seeded gaussian, L2-norm)
         self.embeddings: list[tuple[str, list[float]]] = []
         for e in self.entities:
@@ -218,9 +241,11 @@ class Vocab:
 
         # hub surface pool for skewed mention sampling
         self.hub_surfaces = [e["surfaces"][0] for e in self.entities if e["is_hub"]]
-        self.all_surfaces = [e["surfaces"][0] for e in self.entities] + [
-            s for e in self.entities for s in e["surfaces"][1:]
-        ]
+        self.all_surfaces = (
+            [e["surfaces"][0] for e in self.entities]
+            + [s for e in self.entities for s in e["surfaces"][1:]]
+            + self.unreg_surfaces
+        )
 
 
 def _gen_doc(vocab: Vocab, doc_idx: int, seed: int = SEED) -> tuple[str, list[dict]]:
@@ -366,7 +391,7 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     )
 
 
-FIXTURE_VERSION = 2  # bump on any generator change: invalidates /tmp caches
+FIXTURE_VERSION = 3  # bump on any generator change: invalidates /tmp caches
 
 
 def ensure_fixtures(out_dir: str, sf: float, seed: int = SEED) -> str:

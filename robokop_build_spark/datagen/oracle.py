@@ -91,8 +91,13 @@ def compute_golden(fixture_dir: str):
     for alias, canonical, ntype, name in norm:
         meta[rep_map[alias]] = (ntype, name)
 
-    # --- extract + link: doc → set of (rep, original linked curie) ---
-    doc_ents: dict[str, set[tuple[str, str]]] = defaultdict(set)
+    # --- extract + link: doc → set of (rep, original linked curie, type) ---
+    # type of the canonical component wins; a CURIE absent from the
+    # normalization map keeps the lookup candidate's type (the reference's
+    # node carries its lookup type when the synonymizer doesn't know it) —
+    # aligned with plans/pipeline.py _doc_entities coalesce(rep_type,
+    # node_type)
+    doc_ents: dict[str, set[tuple[str, str, str]]] = defaultdict(set)
     for row in docs:
         for span in row["spans"] or []:
             if span["kind"] not in ("text", "caption"):
@@ -102,7 +107,8 @@ def compute_golden(fixture_dir: str):
                 continue
             for _m, cand, _score in link_mentions(span["text"], ments, emb_map):
                 rep = rep_map.get(cand.curie, cand.curie)
-                doc_ents[row["doc_id"]].add((rep, cand.curie))
+                ntype = meta[rep][0] if rep in meta else cand.node_type
+                doc_ents[row["doc_id"]].add((rep, cand.curie, ntype))
 
     # --- canonicalized predicate map, indexed by (src,dst) type pair ---
     pm_rep: dict[tuple[str, str], dict[str, list[tuple[str, str, str]]]] = defaultdict(
@@ -129,8 +135,8 @@ def compute_golden(fixture_dir: str):
     for doc_id, ents in doc_ents.items():
         # originating mention curies per disease rep in this doc
         origins: dict[str, set[str]] = defaultdict(set)
-        for rep, orig in ents:
-            if meta.get(rep, ("", ""))[0] == "disease":
+        for rep, orig, ntype in ents:
+            if ntype == "disease":
                 origins[rep].add(orig)
         for d, inputs in origins.items():
             for g, pred1, op1 in hop1_map.get(d, ()):
@@ -178,8 +184,10 @@ def compute_golden(fixture_dir: str):
     nodes = [
         dict(
             id=r,
-            node_type=meta.get(r, ("", ""))[0],
-            name=meta.get(r, ("", ""))[1],
+            # "unknown", not "": empty partition values don't survive
+            # hive-style partitionBy round-trips (see materialize.build_nodes)
+            node_type=meta.get(r, ("unknown", ""))[0],
+            name=meta.get(r, ("unknown", ""))[1],
             equivalent_identifiers=sorted(members.get(r, [r])),
         )
         for r in all_node_ids

@@ -125,12 +125,21 @@ def connected_components(
 
     cur = e.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     prev_fp = None
+    converged = False
     for _ in range(max_iter):
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
+    if not converged:
+        # a partially-contracted mapping is silently wrong — fail loudly
+        raise RuntimeError(
+            f"connected_components: no fixpoint after max_iter={max_iter} "
+            "rounds (expected O(log n)); raise max_iter or check for "
+            "pathological edge input"
+        )
 
     # fixpoint edges form stars (node → component min); orient + dedupe,
     # then add identity rows for nodes whose component is a singleton

@@ -128,6 +128,10 @@ def minhash_lsh_pairs(
     bands of rows r = num_hashes/bands; band key = md5(concat of the band's
     slice). Pairs sharing ≥1 band key are candidates (dedup'd).
     """
+    if num_hashes % bands:
+        # trailing signature components would be silently ignored, weakening
+        # recall and desyncing from any oracle built over all hashes
+        raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     r = num_hashes // bands
     sh = (
         docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))

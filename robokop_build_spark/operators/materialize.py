@@ -50,7 +50,10 @@ def build_nodes(triples: DataFrame, rep_map: DataFrame) -> DataFrame:
         F.broadcast(members), ids["id"] == members["rep"], "left"
     ).select(
         "id",
-        F.coalesce("node_type", F.lit("")).alias("node_type"),
+        # non-empty sentinel: the node table is partitionBy(node_type), and
+        # an empty-string partition value round-trips as NULL through
+        # hive-style layout (__HIVE_DEFAULT_PARTITION__)
+        F.coalesce("node_type", F.lit("unknown")).alias("node_type"),
         F.coalesce("name", F.lit("")).alias("name"),
         F.coalesce("equivalent_identifiers", F.array(F.col("id"))).alias(
             "equivalent_identifiers"
@@ -72,6 +75,14 @@ def merge_triples(
     (subj, obj, edge_source) — the reference's delete-then-create
     (builder/builder.py:24-25) made resume-safe. With Iceberg this is a
     single MERGE INTO; on parquet it is anti-join + union + rewrite."""
+    import os
+
+    if os.path.abspath(out_path) == os.path.abspath(existing_path):
+        # the lazy read + mode('overwrite') would delete the input mid-plan
+        raise ValueError(
+            "merge_triples: out_path must differ from existing_path "
+            f"({out_path!r}); write to a new location, then swap"
+        )
     existing = spark.read.parquet(existing_path)
     keep = existing.join(
         new.select(*TRIPLE_MERGE_KEY).distinct(), TRIPLE_MERGE_KEY, "left_anti"

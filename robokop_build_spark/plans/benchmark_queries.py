@@ -107,7 +107,7 @@ def a1_count_by_lang(spark, sf_dir):
 
 
 A1_SQL = """
-SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents GROUP BY lang
 """
 
@@ -121,8 +121,13 @@ def q1_pricing_summary(spark, sf_dir):
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.count(F.lit(1)).alias("count_order"),
-            F.sum(dec("l_quantity")).cast("decimal(38,2)").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("decimal(38,2)").alias("sum_base_price"),
+            # summed exactly as DECIMAL, then cast once to double: both
+            # engines perform the identical decimal→IEEE754 conversion, so
+            # the value-hash compare sees the same primitive (DuckDB's
+            # DECIMAL→pandas lands as float64; Spark's would land as
+            # decimal.Decimal and hash differently despite equal values)
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
             F.round(
                 F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 6
             ).alias("avg_qty"),
@@ -133,8 +138,8 @@ def q1_pricing_summary(spark, sf_dir):
 Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        count(*) AS count_order,
-       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
        round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*), 6) AS avg_qty
 FROM lineitem GROUP BY l_returnflag, l_linestatus
 """
@@ -154,8 +159,9 @@ def j5_region_revenue(spark, sf_dir):
         .groupBy("r_name")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
+            # exact decimal sum, surfaced as double (see q1 note)
             F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("decimal(38,2)")
+            .cast("double")
             .alias("revenue"),
         )
     )
@@ -163,7 +169,7 @@ def j5_region_revenue(spark, sf_dir):
 
 J5_SQL = """
 SELECT r_name, count(*) AS n_orders,
-       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS revenue
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
 FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
