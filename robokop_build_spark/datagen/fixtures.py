@@ -69,6 +69,9 @@ EDGE_TEMPLATES = [
         "uberongraph.get_anatomy_by_phenotype_graph",
         "biolink:affects",
     ),
+    # gives D(1-2)G a genuine 2-hop program (disease→phenotype→gene) so
+    # variable-length/multi-program execution has distinct edges to prove
+    ("phenotypic_feature", "gene", "hetio.phenotype_to_gene", "biolink:associated_with"),
     ("anatomical_entity", "cell", "uberongraph.get_anatomy_by_cell_graph", "biolink:has_part"),
 ]
 
@@ -391,7 +394,7 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     )
 
 
-FIXTURE_VERSION = 3  # bump on any generator change: invalidates /tmp caches
+FIXTURE_VERSION = 4  # bump on any generator change: invalidates /tmp caches
 
 
 def ensure_fixtures(out_dir: str, sf: float, seed: int = SEED) -> str:

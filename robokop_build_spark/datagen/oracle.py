@@ -63,9 +63,22 @@ def build_canonical_map(norm_rows) -> dict[str, str]:
     return rep_map
 
 
-def compute_golden(fixture_dir: str):
+def compute_golden(
+    fixture_dir: str,
+    programs: list[list[str]] | None = None,
+    end_values: list[str] | None = None,
+    require_complete: bool = False,
+    with_support: bool = True,
+):
     """Returns (nodes, triples): lists of dicts matching schemas.NODES /
-    schemas.TRIPLES for the flagship DGX query + support edges."""
+    schemas.TRIPLES for the given programs (default: the flagship DGX
+    chain) + support edges.
+
+    programs: list of concrete node-type chains (the output of
+    plans.query.enumerate_programs — U1 union semantics across programs).
+    end_values / require_complete replay the end-bound / full-pattern
+    semantics of builder/userquery.py:104-126: an edge is emitted only when
+    it lies on a path that completes to a valid terminal."""
     read = lambda n: pq.read_table(f"{fixture_dir}/{n}.parquet")  # noqa: E731
     docs = read("documents").to_pylist()
     lex = [tuple(r) for r in zip(*(read("lexicon").column(c).to_pylist() for c in ("surface", "curie", "node_type")))]
@@ -119,10 +132,13 @@ def compute_golden(fixture_dir: str):
         orep = rep_map.get(r["obj_curie"], r["obj_curie"])
         pm_rep[(r["src_type"], r["dst_type"])][srep].append((orep, r["pred"], r["op_name"]))
 
-    hop1_map = pm_rep[("disease", "gene")]
-    hop2_map = pm_rep[("gene", "genetic_condition")]
+    if programs is None:
+        programs = [["disease", "gene", "genetic_condition"]]
+    end_reps = (
+        sorted({rep_map.get(v, v) for v in end_values}) if end_values else None
+    )
 
-    # --- DGX expansion with dedup on (subj, pred, obj, edge_source) ---
+    # --- program expansion with dedup on (subj, pred, obj, edge_source) ---
     agg: dict[tuple[str, str, str, str], tuple[set[str], set[str]]] = defaultdict(
         lambda: (set(), set())
     )
@@ -132,17 +148,50 @@ def compute_golden(fixture_dir: str):
         pubs.add(f"DOC:{doc_id}")
         ins.update(inputs)
 
-    for doc_id, ents in doc_ents.items():
-        # originating mention curies per disease rep in this doc
-        origins: dict[str, set[str]] = defaultdict(set)
-        for rep, orig, ntype in ents:
-            if ntype == "disease":
-                origins[rep].add(orig)
-        for d, inputs in origins.items():
-            for g, pred1, op1 in hop1_map.get(d, ()):
-                emit(d, pred1, g, op1, doc_id, inputs)
-                for x, pred2, op2 in hop2_map.get(g, ()):
-                    emit(g, pred2, x, op2, doc_id, inputs)
+    def alive_sets(hop_maps) -> list[set[str] | None] | None:
+        """Backward terminal-boundedness (mirrors expand._alive_sets)."""
+        if not (require_complete or end_reps is not None):
+            return None
+        n = len(hop_maps)
+        alive: list[set[str] | None] = [None] * (n + 1)
+        if end_reps is not None:
+            alive[n] = set(end_reps)
+        for i in range(n - 1, -1, -1):
+            ok: set[str] = set()
+            for s, lst in hop_maps[i].items():
+                for o, _, _ in lst:
+                    if alive[i + 1] is None or o in alive[i + 1]:
+                        ok.add(s)
+                        break
+            alive[i] = ok
+        return alive
+
+    for prog in programs:
+        hop_maps = [pm_rep[(a, b)] for a, b in zip(prog, prog[1:])]
+        alive = alive_sets(hop_maps)
+        for doc_id, ents in doc_ents.items():
+            # originating mention curies per start-typed rep in this doc
+            origins: dict[str, set[str]] = defaultdict(set)
+            for rep, orig, ntype in ents:
+                if ntype == prog[0]:
+                    origins[rep].add(orig)
+            for start, inputs in origins.items():
+                if alive is not None and alive[0] is not None and start not in alive[0]:
+                    continue
+                frontier = {start}
+                for h, hop_map in enumerate(hop_maps):
+                    nxt: set[str] = set()
+                    for s in frontier:
+                        for o, pred, op in hop_map.get(s, ()):
+                            if (
+                                alive is not None
+                                and alive[h + 1] is not None
+                                and o not in alive[h + 1]
+                            ):
+                                continue
+                            emit(s, pred, o, op, doc_id, inputs)
+                            nxt.add(o)
+                    frontier = nxt
 
     triples = [
         dict(
@@ -157,24 +206,25 @@ def compute_golden(fixture_dir: str):
     ]
 
     # --- support edges: shared PMIDs over graph-node pairs ---
-    graph_nodes = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
-    pmids: dict[str, set[str]] = defaultdict(set)
-    for r in tpm:
-        pmids[rep_map.get(r["curie"], r["curie"])].add(r["pmid"])
-    for i, a in enumerate(graph_nodes):
-        for b in graph_nodes[i + 1 :]:
-            shared = pmids[a] & pmids[b]
-            if shared:
-                triples.append(
-                    dict(
-                        subj=a,
-                        pred=SUPPORT_PRED,
-                        obj=b,
-                        edge_source=SUPPORT_SOURCE,
-                        publications=sorted(shared),
-                        input_identifiers="",
+    if with_support:
+        graph_nodes = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
+        pmids: dict[str, set[str]] = defaultdict(set)
+        for r in tpm:
+            pmids[rep_map.get(r["curie"], r["curie"])].add(r["pmid"])
+        for i, a in enumerate(graph_nodes):
+            for b in graph_nodes[i + 1 :]:
+                shared = pmids[a] & pmids[b]
+                if shared:
+                    triples.append(
+                        dict(
+                            subj=a,
+                            pred=SUPPORT_PRED,
+                            obj=b,
+                            edge_source=SUPPORT_SOURCE,
+                            publications=sorted(shared),
+                            input_identifiers="",
+                        )
                     )
-                )
 
     # --- nodes with sorted equivalent_identifiers ---
     members: dict[str, list[str]] = defaultdict(list)

@@ -41,10 +41,54 @@ def canonicalize_predicate_map(pm: DataFrame, rep_map: DataFrame) -> DataFrame:
     return pm2.select("src_type", "dst_type", "op_name", "pred", "subj_rep", "obj_rep")
 
 
+def _alive_sets(
+    pm_rep: DataFrame,
+    path_types: list[str],
+    end_reps: list[str] | None,
+) -> list[DataFrame | None]:
+    """Backward terminal-boundedness pruning (F5; reference analog: the
+    two-terminal `robokop.traversable(nodes(p), ..., [c0,cN])` guard in the
+    concept cypher, builder/userquery.py:123-126).
+
+    alive[i] = reps at position i from which the remaining hops can complete
+    to a valid terminal (∈ end_reps when bound, any type-correct terminal
+    otherwise). Sets are predicate-map-bounded (dimension-sized) — each is a
+    small DataFrame destined for a broadcast semi-join in the forward pass.
+
+    Returns one entry per position; None means unconstrained (saves the
+    join). With end_reps=None only the *existence* of downstream edges
+    prunes (full-pattern match semantics); the terminal position itself is
+    unconstrained.
+    """
+    n = len(path_types)
+    alive: list[DataFrame | None] = [None] * n
+    if end_reps is not None:
+        if not end_reps:
+            raise ValueError("end_reps must be non-empty when given")
+        term = pm_rep.sparkSession.createDataFrame(
+            [(r,) for r in sorted(set(end_reps))], ["rep"]
+        )
+        alive[n - 1] = term
+    for i in range(n - 2, -1, -1):
+        edges = pm_rep.filter(
+            (F.col("src_type") == path_types[i])
+            & (F.col("dst_type") == path_types[i + 1])
+        ).select(F.col("subj_rep").alias("rep"), F.col("obj_rep"))
+        if alive[i + 1] is not None:
+            edges = edges.join(
+                F.broadcast(alive[i + 1].select(F.col("rep").alias("obj_rep"))),
+                "obj_rep",
+            )
+        alive[i] = edges.select("rep").distinct()
+    return alive
+
+
 def expand_path(
     doc_entities: DataFrame,
     pm_rep: DataFrame,
     path_types: list[str],
+    end_reps: list[str] | None = None,
+    require_complete: bool = False,
 ) -> DataFrame:
     """Multi-hop expansion along a typed path (e.g. disease→gene→
     genetic_condition, the reference's `DGX` query, builder/builder.py:589).
@@ -54,18 +98,38 @@ def expand_path(
     aggregation via the tiny origin map (see aggregate_triples), which keeps
     the doc-scale rows narrow through every hop.
 
+    end_reps / require_complete: emit only edges lying on paths that reach a
+    valid terminal (end-bound queries, builder/userquery.py:104-113). The
+    pruning is backward alive-sets over the dimension-sized predicate map +
+    per-hop broadcast semi-joins — never path materialization, so the
+    doc-scale rows stay narrow and no path-count blowup reaches the shuffle.
+    Default (both unset) keeps emit-per-hop semantics: every reachable edge
+    enters the graph even when deeper hops dead-end.
+
     Returns raw triple events: (doc_id, subj, pred, obj, edge_source, start).
     """
+    prune = require_complete or end_reps is not None
+    alive = _alive_sets(pm_rep, path_types, end_reps) if prune else None
+
     frontier = (
         doc_entities.filter(F.col("node_type") == path_types[0])
         .select("doc_id", "rep", F.col("rep").alias("start"))
         .distinct()
     )
+    if alive is not None and alive[0] is not None:
+        frontier = frontier.join(F.broadcast(alive[0]), "rep")
     hops = []
-    for src_t, dst_t in zip(path_types, path_types[1:]):
+    for h, (src_t, dst_t) in enumerate(zip(path_types, path_types[1:])):
         edges = pm_rep.filter(
             (F.col("src_type") == src_t) & (F.col("dst_type") == dst_t)
         ).select("subj_rep", "obj_rep", "pred", "op_name")
+        if alive is not None and alive[h + 1] is not None:
+            # restrict the (broadcast-sized) edge table itself — cheaper
+            # than filtering doc-scale hop rows after the join
+            edges = edges.join(
+                F.broadcast(alive[h + 1].select(F.col("rep").alias("obj_rep"))),
+                "obj_rep",
+            )
         # dimension-sized edge partition → broadcast; frontier (doc-scale)
         # keeps its partitioning, no shuffle per hop
         hop = frontier.join(F.broadcast(edges), frontier["rep"] == edges["subj_rep"])
@@ -85,6 +149,27 @@ def expand_path(
     out = hops[0]
     for h in hops[1:]:
         out = out.unionByName(h)
+    return out
+
+
+def expand_programs(
+    doc_entities: DataFrame,
+    pm_rep: DataFrame,
+    programs: list[list[str]],
+    end_reps: list[str] | None = None,
+    require_complete: bool = False,
+) -> DataFrame:
+    """U1 union of per-program expansions (reference: one Program per
+    concrete concept path, graph = union of program results,
+    builder/userquery.py:133-137 + builder/builder.py KnowledgeGraph.merge).
+    Duplicate edges across programs collapse in aggregate_triples' groupBy —
+    the union here stays lazy, one job for all programs."""
+    if not programs:
+        raise ValueError("no programs to execute (path unreachable in metagraph?)")
+    out = None
+    for prog in programs:
+        raw = expand_path(doc_entities, pm_rep, prog, end_reps, require_complete)
+        out = raw if out is None else out.unionByName(raw)
     return out
 
 

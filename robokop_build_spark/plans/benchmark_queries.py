@@ -66,6 +66,52 @@ def kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _kg_query(spark: SparkSession, sf_dir: str, **pipeline_kwargs) -> DataFrame:
+    """Run the KG pipeline with a query variant; base stages (mentions /
+    rep_map / doc_entities) are shared with kg_end_to_end via the common
+    version-keyed workdir, only expansion stages recompute."""
+    from ..datagen.fixtures import FIXTURE_VERSION
+    from .pipeline import run_pipeline
+
+    sf = _sf_of(sf_dir)
+    fx = _fixture_dir_for(sf_dir)
+    work = f"/tmp/robokop_work/sf{sf}_v{FIXTURE_VERSION}"
+    out = run_pipeline(spark, fx, work, **pipeline_kwargs)
+    return out["triples"].select(
+        "subj", "pred", "obj", "edge_source", "input_identifiers"
+    )
+
+
+def kg_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5 variable-length transitions: `D(1-2)G` compiles to every concrete
+    1..2-hop program through the metagraph (disease→gene + disease→
+    phenotype→gene) and unions them (reference `-[:translation*1..2]-`,
+    builder/userquery.py:31-35; exact-match golden gate in
+    tests/test_query_programs.py)."""
+    return _kg_query(spark, sf_dir, path="D(1-2)G")
+
+
+def kg_multi_program(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-program plan enumeration: `D(1-3)X` → [disease,gene,
+    genetic_condition] + [disease,phenotypic_feature,gene,genetic_condition]
+    (reference compile_query 72-program fan-out, builder/userquery.py:115-137;
+    U1 union + dedup)."""
+    return _kg_query(spark, sf_dir, path="D(1-3)X")
+
+
+def kg_end_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-bound two-sided query (builder/userquery.py:104-126): DG with the
+    terminal bound to one gene; only edges on complete start→terminal paths
+    are emitted (backward alive-set pruning + canonicalized end value)."""
+    return _kg_query(
+        spark,
+        sf_dir,
+        path_types=["disease", "gene"],
+        end_values=["NCBIGENE:7000001"],
+        with_support=False,
+    )
+
+
 def kg_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 span-sequence-equality invariant: docs whose spans fail to
     round-trip through posexplode→reassemble. Must be empty-ish (returns a
@@ -768,6 +814,9 @@ FROM documents
 
 QUERIES = {
     "kg_end_to_end": kg_end_to_end,
+    "kg_var_length": kg_var_length,
+    "kg_multi_program": kg_multi_program,
+    "kg_end_bound": kg_end_bound,
     "kg_span_roundtrip": kg_span_roundtrip,
     "multimodal_media_features": multimodal_media_features,
     "a1_count_by_lang": a1_count_by_lang,

@@ -19,7 +19,7 @@ from ..operators.canonicalize import canonical_map, resolve_aliases
 from ..operators.expand import (
     aggregate_triples,
     canonicalize_predicate_map,
-    expand_path,
+    expand_programs,
     origin_map,
 )
 from ..operators.extract import detect_mentions, explode_spans
@@ -27,6 +27,7 @@ from ..operators.materialize import build_nodes, stage_metrics, validate_triples
 from ..operators.support import shared_pmid_support
 from ..sources.checkpoint import CheckpointManager
 from ..sources.readers import read_fixtures
+from .query import enumerate_programs, tokenize_path
 
 DGX_PATH = ["disease", "gene", "genetic_condition"]
 
@@ -36,6 +37,15 @@ class PipelineConfig:
     fixture_dir: str
     workdir: str
     path_types: list[str] = field(default_factory=lambda: list(DGX_PATH))
+    # path DSL (e.g. "D(1-2)GX"); overrides path_types — compiled into every
+    # concrete program through the metagraph (reference compile_query)
+    path: str | None = None
+    # terminal values: run as an end-bound two-sided query
+    # (builder/userquery.py:104-113); CURIEs, canonicalized via the rep map
+    end_values: list[str] | None = None
+    # emit only edges on paths matching the FULL pattern (cypher semantics);
+    # default False preserves emit-per-hop (every reachable edge kept)
+    require_complete: bool = False
     # explicit repartition width after scan: at cluster scale set to
     # O(input bytes / 128MB); on local[N] a small multiple of cores
     doc_partitions: int | None = None
@@ -43,6 +53,26 @@ class PipelineConfig:
     nsalt: int = 8
     with_support: bool = True
     cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
+
+    def query_key(self, programs: list[list[str]]) -> str:
+        """Stage-name suffix for query-dependent stages, so one workdir
+        shares the expensive doc-scale stages (mentions, rep_map,
+        doc_entities) across query variants while expansion outputs stay
+        isolated per query. Empty for the default DGX config (layout
+        backward-compatible)."""
+        import hashlib
+        import json
+
+        if (
+            programs == [DGX_PATH]
+            and not self.end_values
+            and not self.require_complete
+        ):
+            return ""
+        sig = json.dumps(
+            [programs, sorted(self.end_values or []), self.require_complete]
+        )
+        return "@" + hashlib.md5(sig.encode()).hexdigest()[:8]
 
 
 class KGPipeline:
@@ -108,15 +138,40 @@ class KGPipeline:
 
         doc_entities = ckpt.run_stage("doc_entities", _doc_entities)
 
+        # --- compile the query into concrete programs (driver-side, over
+        # the type-level metagraph = distinct (src,dst) pairs — dimension) --
+        if cfg.path:
+            metagraph = {
+                (r["src_type"], r["dst_type"])
+                for r in t["predicate_map"].select("src_type", "dst_type").distinct().collect()
+            }
+            programs = enumerate_programs(tokenize_path(cfg.path), metagraph)
+        else:
+            programs = [cfg.path_types]
+        qk = cfg.query_key(programs)
+
+        end_reps: list[str] | None = None
+        if cfg.end_values:
+            # canonicalize terminal CURIEs (tiny driver-side lookup)
+            hits = {
+                r["curie"]: r["rep"]
+                for r in rep_map.filter(F.col("curie").isin(cfg.end_values))
+                .select("curie", "rep")
+                .collect()
+            }
+            end_reps = sorted({hits.get(v, v) for v in cfg.end_values})
+
         def _triples_base() -> DataFrame:
             pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
-            raw = expand_path(doc_entities, pm_rep, cfg.path_types)
+            raw = expand_programs(
+                doc_entities, pm_rep, programs, end_reps, cfg.require_complete
+            )
             return aggregate_triples(raw, origin_map(doc_entities))
 
         # two commit points: the support stage derives graph_nodes from the
         # expansion triples AND unions them back — materializing the base
         # once means the expand DAG runs exactly once
-        triples_base = ckpt.run_stage("triples_base", _triples_base)
+        triples_base = ckpt.run_stage(f"triples_base{qk}", _triples_base)
 
         def _triples() -> DataFrame:
             triples = triples_base
@@ -134,10 +189,12 @@ class KGPipeline:
                 )
             return validate_triples(triples)
 
-        triples = ckpt.run_stage("triples", _triples, partition_by=["pred"])
+        triples = ckpt.run_stage(f"triples{qk}", _triples, partition_by=["pred"])
 
         nodes = ckpt.run_stage(
-            "nodes", lambda: build_nodes(triples, rep_map), partition_by=["node_type"]
+            f"nodes{qk}",
+            lambda: build_nodes(triples, rep_map),
+            partition_by=["node_type"],
         )
 
         def _metrics() -> DataFrame:
@@ -148,7 +205,7 @@ class KGPipeline:
                 .unionByName(stage_metrics(nodes, "nodes", by="node_type"))
             )
 
-        metrics = ckpt.run_stage("metrics", _metrics)
+        metrics = ckpt.run_stage(f"metrics{qk}", _metrics)
 
         return {
             "mentions": mentions,

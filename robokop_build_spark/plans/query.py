@@ -87,6 +87,84 @@ class QueryDefinition:
 
 
 def compile_path(path: str) -> list[str]:
-    """Path DSL → the node-type chain consumed by PipelineConfig.path_types
-    (each adjacent pair = one predicate-map join stage)."""
-    return [s.node_type for s in tokenize_path(path)]
+    """Path DSL → a single node-type chain (fixed 1-hop transitions only).
+
+    Variable-length transitions and UNSPECIFIED nodes have no single-chain
+    compilation — they expand to a *set* of programs via enumerate_programs
+    (the reference's compile_query, builder/userquery.py:115-137). Raising
+    here (rather than silently executing one hop per transition) is the
+    guard the round-1 ADVICE asked for.
+    """
+    steps = tokenize_path(path)
+    for s in steps:
+        if s.max_path_length != 1 or s.min_path_length != 1:
+            raise PathSyntaxError(
+                f"{path!r} has a variable-length transition; use "
+                "enumerate_programs(steps, metagraph) and run every program"
+            )
+        if s.node_type == "UNSPECIFIED":
+            raise PathSyntaxError(
+                f"{path!r} contains '?'; use enumerate_programs(steps, metagraph)"
+            )
+    return [s.node_type for s in steps]
+
+
+def enumerate_programs(
+    steps: list[Step],
+    metagraph: set[tuple[str, str]],
+    max_programs: int = 10_000,
+) -> list[list[str]]:
+    """Expand a typed path with variable-length transitions into every
+    concrete node-type chain reachable through the metagraph.
+
+    Reference analog: compile_query renders the path as a Concept-graph
+    cypher pattern (`-[:translation*min..max]-`, builder/userquery.py:26-36,
+    116-131) and materializes one Program per concrete concept path (72 for
+    the logged run, builder/output). Here the metagraph is the distinct
+    (src_type, dst_type) pairs of the predicate_map table and the search is
+    a driver-side DFS — type-level, dimension-sized, never touches fact data.
+
+    A transition with (min-max) admits min..max metagraph edges between the
+    two anchored types, intermediate types unconstrained (cypher's untyped
+    interior nodes). '?' (UNSPECIFIED) anchors match any type. Unlike the
+    reference, a program here is a *type* chain, not an op chain: the
+    instance-level join consumes every op registered for a (src,dst) type
+    pair at once (operators/expand.py), which covers the reference's
+    per-op program fan-out set-at-a-time.
+    """
+    all_types = sorted({t for pair in metagraph for t in pair})
+
+    def anchors(step: Step) -> list[str]:
+        return all_types if step.node_type == "UNSPECIFIED" else [step.node_type]
+
+    chains: list[list[str]] = [[t] for t in anchors(steps[0])]
+    for step in steps[1:]:
+        targets = set(anchors(step))
+        nxt: list[list[str]] = []
+        for chain in chains:
+            # DFS from chain tail: all metagraph walks of length min..max
+            # ending on an allowed anchor type (type repeats allowed, as in
+            # cypher variable-length paths; bounded by max_path_length)
+            stack: list[list[str]] = [[chain[-1]]]
+            while stack:
+                walk = stack.pop()
+                depth = len(walk) - 1
+                if depth >= step.min_path_length and walk[-1] in targets:
+                    nxt.append(chain + walk[1:])
+                if depth < step.max_path_length:
+                    for src, dst in metagraph:
+                        if src == walk[-1]:
+                            stack.append(walk + [dst])
+        # dedup (a walk can both end on a target and continue to it again)
+        seen: set[tuple[str, ...]] = set()
+        chains = []
+        for c in nxt:
+            k = tuple(c)
+            if k not in seen:
+                seen.add(k)
+                chains.append(c)
+        if len(chains) > max_programs:
+            raise ValueError(
+                f"path expands to >{max_programs} programs; tighten the query"
+            )
+    return sorted(chains)

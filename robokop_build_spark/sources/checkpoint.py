@@ -32,7 +32,22 @@ class CheckpointManager:
         return os.path.exists(os.path.join(self.path(stage), MARKER))
 
     def read(self, stage: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(stage))
+        """Read a committed stage. The schema recorded at commit time is
+        applied explicitly: an empty stage output writes zero part-files,
+        and schema inference over a fileless directory fails even though
+        the stage legitimately produced 0 rows (e.g. an end-bound query
+        with no matching paths)."""
+        p = self.path(stage)
+        marker = os.path.join(p, MARKER)
+        reader = self.spark.read
+        if os.path.exists(marker):
+            with open(marker) as f:
+                meta = json.load(f)
+            if "schema" in meta:
+                from pyspark.sql.types import StructType
+
+                reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+        return reader.parquet(p)
 
     def commit(
         self, stage: str, df: DataFrame, partition_by: list[str] | None = None
@@ -47,12 +62,16 @@ class CheckpointManager:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(p)
-        meta = {"stage": stage, "wall_sec": round(time.time() - t0, 3)}
+        meta = {
+            "stage": stage,
+            "wall_sec": round(time.time() - t0, 3),
+            "schema": df.schema.json(),
+        }
         tmp = os.path.join(p, MARKER + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(p, MARKER))  # atomic commit
-        return self.spark.read.parquet(p)
+        return self.read(stage)
 
     def run_stage(
         self,
