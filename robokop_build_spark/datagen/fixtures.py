@@ -32,7 +32,7 @@ from ..operators.matching import EMBED_DIM
 SEED = 42
 N_ENTITIES = 600
 N_HUBS = 3
-ALIAS_PREFIXES = ["DOID", "ICD9CM", "UMLS", "ORPHANET", "EFO", "SNOMEDCT"]
+ALIAS_PREFIXES = ["DOID", "ICD9CM", "UMLS", "ORPHANET", "EFO", "SNOMEDCT", "MESH"]
 
 NODE_TYPES = [
     "disease",
@@ -57,6 +57,9 @@ TYPE_PREFIX = {
 
 # (src_type, dst_type, op_name, pred) — op names modeled on the expansion ops
 # observed in the reference run log (builder/output; SURVEY.md §2.1 S6).
+# Each template also carries an original (pre-standardization) predicate
+# id/label pair, derived below — the reference KEdge keeps both
+# (builder/builder.py:31-41: original_predicate_id/label vs standard_*).
 EDGE_TEMPLATES = [
     ("disease", "gene", "pharos.disease_get_gene", "biolink:gene_associated_with_condition"),
     ("gene", "genetic_condition", "biolink.gene_get_genetic_condition", "biolink:causes_condition"),
@@ -74,6 +77,14 @@ EDGE_TEMPLATES = [
     ("phenotypic_feature", "gene", "hetio.phenotype_to_gene", "biolink:associated_with"),
     ("anatomical_entity", "cell", "uberongraph.get_anatomy_by_cell_graph", "biolink:has_part"),
 ]
+
+
+def _orig_pred(template_idx: int, pred: str) -> tuple[str, str]:
+    """Deterministic original predicate for a template: RO-style id + the
+    standard pred's local part de-munged. Reference KEdge carries both
+    original and standard predicates (builder/builder.py:31-41)."""
+    return f"RO:{3000000 + template_idx}", pred.split(":")[1].replace("_", " ")
+
 
 _SYLLABLES = [
     "ba", "ce", "di", "fo", "gu", "ha", "ki", "lo", "mu", "ne",
@@ -178,15 +189,25 @@ class Vocab:
             by_type.setdefault(e["node_type"], []).append(e)
         self.predicate_map: list[tuple] = []
         seen_edges: set[tuple] = set()
-        for src_t, dst_t, op, pred in EDGE_TEMPLATES:
+        for ti, (src_t, dst_t, op, pred) in enumerate(EDGE_TEMPLATES):
+            oid, olabel = _orig_pred(ti, pred)
+            # dead-end carve-out: ~1/5 of genes get NO gene→genetic_condition
+            # edges, so full-pattern (require_complete) pruning is observable
+            # — without it every reachable gene completes and pruning is a
+            # no-op on the fixture
+            src_pool = by_type[src_t]
+            if (src_t, dst_t) == ("gene", "genetic_condition"):
+                src_pool = [e for e in src_pool if e["idx"] % 40 != 1]
             for _ in range(400):
-                s = rng.choice(by_type[src_t])
+                s = rng.choice(src_pool)
                 o = rng.choice(by_type[dst_t])
                 key = (s["curie"], pred, o["curie"])
                 if key in seen_edges:
                     continue
                 seen_edges.add(key)
-                self.predicate_map.append((src_t, dst_t, op, pred, s["curie"], o["curie"]))
+                self.predicate_map.append(
+                    (src_t, dst_t, op, pred, s["curie"], o["curie"], oid, olabel)
+                )
 
         # unregistered entities: lexicon CURIEs with NO normalization-map row
         # (exercises the unmapped-rep fallback: node_type comes from the
@@ -199,6 +220,7 @@ class Vocab:
             surface = next(sw)
             self.lexicon.append((surface, curie, "disease"))
             g = by_type["gene"][k]
+            oid, olabel = _orig_pred(0, "biolink:gene_associated_with_condition")
             self.predicate_map.append(
                 (
                     "disease",
@@ -207,6 +229,8 @@ class Vocab:
                     "biolink:gene_associated_with_condition",
                     curie,
                     g["curie"],
+                    oid,
+                    olabel,
                 )
             )
             self.unreg_surfaces.append(surface)
@@ -241,6 +265,22 @@ class Vocab:
             c1, c2 = counts[a], counts[b]
             c = rng.randint(0, min(c1, c2))
             self.cdw_paircounts.append((a, b, c1, c2, c, rng.random()))
+
+        # chemotext side tables: MESH alias → chemotext term label (80%
+        # coverage — the reference warns and skips unknown mesh ids,
+        # builder/chemotext.py:30-36) + term → article fan-out
+        self.mesh_terms: list[tuple[str, str]] = []
+        self.term_articles: list[tuple[str, str]] = []
+        for e in self.entities:
+            for a in e["aliases"]:
+                if a.startswith("MESH:") and rng.random() < 0.8:
+                    term = f"ct_{a.split(':')[1]}"
+                    self.mesh_terms.append((a, term))
+                    n_art = max(1, int(150 / (e["idx"] + 1) ** 0.6)) + rng.randint(0, 4)
+                    for _ in range(n_art):
+                        self.term_articles.append(
+                            (term, f"PMID:{rng.randint(10000, 99999)}")
+                        )
 
         # hub surface pool for skewed mention sampling
         self.hub_surfaces = [e["surfaces"][0] for e in self.entities if e["is_hub"]]
@@ -366,6 +406,8 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
             "pred": pm[3],
             "subj_curie": pm[4],
             "obj_curie": pm[5],
+            "orig_pred_id": pm[6],
+            "orig_pred_label": pm[7],
         },
     )
     em = list(zip(*vocab.embeddings))
@@ -378,6 +420,10 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     )
     tp = list(zip(*vocab.term_pmids))
     write("term_pmids", {"curie": tp[0], "pmid": tp[1]})
+    mt = list(zip(*vocab.mesh_terms))
+    write("mesh_terms", {"mesh_curie": mt[0], "term_name": mt[1]})
+    ta = list(zip(*vocab.term_articles))
+    write("term_articles", {"term_name": ta[0], "pmid": ta[1]})
     cc = list(zip(*vocab.cdw_counts))
     write("cdw_counts", {"icd9": cc[0], "count": pa.array(cc[1], pa.int64())})
     cp = list(zip(*vocab.cdw_paircounts))
@@ -394,7 +440,7 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     )
 
 
-FIXTURE_VERSION = 4  # bump on any generator change: invalidates /tmp caches
+FIXTURE_VERSION = 6  # bump on any generator change: invalidates /tmp caches
 
 
 def ensure_fixtures(out_dir: str, sf: float, seed: int = SEED) -> str:

@@ -8,9 +8,14 @@ Semantics replayed (reference citations):
   builder/builder.py:249-264 (add_or_find_node) + builder/builder.py:136-167
   (merge) — here a union-find over the normalization edge list
 - edge-crawl expansion: per-edge op keyed by (src_type,dst_type) metagraph
-  rows (builder/userquery.py:128; ops observed in builder/output)
+  rows (builder/userquery.py:128; ops observed in builder/output), over every
+  enumerated program (compile_query, builder/userquery.py:115-137)
 - edge dedup on (subj, obj, edge_source, pred): builder/builder.py:218-226
-- shared-PMID support edges: builder/omnicorp.py:21-33
+- full edge schema: export_edge fields (builder/builder.py:31-41)
+- per-pair publication cap: builder/chemotext.py:53 (LIMIT 10000)
+- supporters: omnicorp (builder/omnicorp.py:21-33), cdw (builder/cdw.py:9-103),
+  chemotext2 max-sim (builder/chemotext2.py:9-70), chemotext MeSH
+  co-occurrence (builder/chemotext.py:8-68)
 - sorted equivalent_identifiers: builder/builder.py:81-82
 
 The Spark pipeline (plans/pipeline.py) must reproduce these rows with
@@ -25,10 +30,11 @@ from collections import defaultdict
 import numpy as np
 import pyarrow.parquet as pq
 
-from ..operators.matching import build_trie, detect, link_mentions
+from ..operators.matching import build_trie, detect, featurize, link_mentions
 
 SUPPORT_PRED = "biolink:correlated_with"
 SUPPORT_SOURCE = "omnicorp.term_to_term"
+CDW_TOTAL = 269332  # builder/cdw.py:16
 
 
 class UnionFind:
@@ -63,16 +69,47 @@ def build_canonical_map(norm_rows) -> dict[str, str]:
     return rep_map
 
 
+def _edge_dict(
+    subj, pred, obj, source, pubs, inputs, oid, olabel, ctime, properties
+):
+    """Full reference edge schema (export_edge, builder/builder.py:31-41)."""
+    return dict(
+        subj=subj,
+        pred=pred,
+        obj=obj,
+        edge_source=source,
+        publications=pubs,
+        input_identifiers=inputs,
+        ctime=ctime,
+        url=f"op://{source}/{subj}",
+        standard_label=pred.split(":")[1],
+        original_predicate_id=oid,
+        original_predicate_label=olabel,
+        properties=properties,
+    )
+
+
+def _tokenize_label(name: str) -> list[str]:
+    """chemotext2 label tokenization (mirrors MaxSimSupporter)."""
+    badwords = {"disease", "syndrome", "type", "and", "the", "with", "of"}
+    table = str.maketrans("()-,;./", "       ")
+    toks = [t for t in name.lower().translate(table).split() if len(t) > 2]
+    return [t for t in toks if t not in badwords]
+
+
 def compute_golden(
     fixture_dir: str,
     programs: list[list[str]] | None = None,
     end_values: list[str] | None = None,
     require_complete: bool = False,
     with_support: bool = True,
+    supporters: tuple[str, ...] = ("omnicorp",),
+    publication_cap: int = 10_000,
+    ctime: int = 0,
 ):
     """Returns (nodes, triples): lists of dicts matching schemas.NODES /
     schemas.TRIPLES for the given programs (default: the flagship DGX
-    chain) + support edges.
+    chain) + the requested supporters' edges.
 
     programs: list of concrete node-type chains (the output of
     plans.query.enumerate_programs — U1 union semantics across programs).
@@ -96,13 +133,15 @@ def compute_golden(
         c: np.asarray(v, dtype=np.float64)
         for c, v in zip(emb_tbl.column("curie").to_pylist(), emb_tbl.column("embedding").to_pylist())
     }
-    tpm = read("term_pmids").to_pylist()
 
     trie = build_trie(lex)
     rep_map = build_canonical_map(norm)
     meta: dict[str, tuple[str, str]] = {}  # rep → (node_type, name)
     for alias, canonical, ntype, name in norm:
         meta[rep_map[alias]] = (ntype, name)
+    members: dict[str, list[str]] = defaultdict(list)
+    for curie, rep in rep_map.items():
+        members[rep].append(curie)
 
     # --- extract + link: doc → set of (rep, original linked curie, type) ---
     # type of the canonical component wins; a CURIE absent from the
@@ -124,13 +163,15 @@ def compute_golden(
                 doc_ents[row["doc_id"]].add((rep, cand.curie, ntype))
 
     # --- canonicalized predicate map, indexed by (src,dst) type pair ---
-    pm_rep: dict[tuple[str, str], dict[str, list[tuple[str, str, str]]]] = defaultdict(
+    pm_rep: dict[tuple[str, str], dict[str, list[tuple]]] = defaultdict(
         lambda: defaultdict(list)
     )
     for r in pm:
         srep = rep_map.get(r["subj_curie"], r["subj_curie"])
         orep = rep_map.get(r["obj_curie"], r["obj_curie"])
-        pm_rep[(r["src_type"], r["dst_type"])][srep].append((orep, r["pred"], r["op_name"]))
+        pm_rep[(r["src_type"], r["dst_type"])][srep].append(
+            (orep, r["pred"], r["op_name"], r["orig_pred_id"], r["orig_pred_label"])
+        )
 
     if programs is None:
         programs = [["disease", "gene", "genetic_condition"]]
@@ -139,14 +180,17 @@ def compute_golden(
     )
 
     # --- program expansion with dedup on (subj, pred, obj, edge_source) ---
-    agg: dict[tuple[str, str, str, str], tuple[set[str], set[str]]] = defaultdict(
-        lambda: (set(), set())
+    # agg value: (pubs, inputs, orig_ids, orig_labels)
+    agg: dict[tuple[str, str, str, str], tuple[set, set, set, set]] = defaultdict(
+        lambda: (set(), set(), set(), set())
     )
 
-    def emit(subj, pred, obj, src, doc_id, inputs):
-        pubs, ins = agg[(subj, pred, obj, src)]
+    def emit(subj, pred, obj, src, oid, olabel, doc_id, inputs):
+        pubs, ins, oids, olabels = agg[(subj, pred, obj, src)]
         pubs.add(f"DOC:{doc_id}")
         ins.update(inputs)
+        oids.add(oid)
+        olabels.add(olabel)
 
     def alive_sets(hop_maps) -> list[set[str] | None] | None:
         """Backward terminal-boundedness (mirrors expand._alive_sets)."""
@@ -159,7 +203,7 @@ def compute_golden(
         for i in range(n - 1, -1, -1):
             ok: set[str] = set()
             for s, lst in hop_maps[i].items():
-                for o, _, _ in lst:
+                for o, *_ in lst:
                     if alive[i + 1] is None or o in alive[i + 1]:
                         ok.add(s)
                         break
@@ -182,54 +226,45 @@ def compute_golden(
                 for h, hop_map in enumerate(hop_maps):
                     nxt: set[str] = set()
                     for s in frontier:
-                        for o, pred, op in hop_map.get(s, ()):
+                        for o, pred, op, oid, olabel in hop_map.get(s, ()):
                             if (
                                 alive is not None
                                 and alive[h + 1] is not None
                                 and o not in alive[h + 1]
                             ):
                                 continue
-                            emit(s, pred, o, op, doc_id, inputs)
+                            emit(s, pred, o, op, oid, olabel, doc_id, inputs)
                             nxt.add(o)
                     frontier = nxt
 
     triples = [
-        dict(
-            subj=s,
-            pred=p,
-            obj=o,
-            edge_source=src,
-            publications=sorted(pubs),
-            input_identifiers=",".join(sorted(ins)),
+        _edge_dict(
+            s,
+            p,
+            o,
+            src,
+            sorted(pubs)[:publication_cap],
+            ",".join(sorted(ins)),
+            min(oids),
+            min(olabels),
+            ctime,
+            {},
         )
-        for (s, p, o, src), (pubs, ins) in agg.items()
+        for (s, p, o, src), (pubs, ins, oids, olabels) in agg.items()
     ]
 
-    # --- support edges: shared PMIDs over graph-node pairs ---
-    if with_support:
+    # --- supporter edges over the expansion graph nodes ---
+    if with_support and supporters:
         graph_nodes = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
-        pmids: dict[str, set[str]] = defaultdict(set)
-        for r in tpm:
-            pmids[rep_map.get(r["curie"], r["curie"])].add(r["pmid"])
-        for i, a in enumerate(graph_nodes):
-            for b in graph_nodes[i + 1 :]:
-                shared = pmids[a] & pmids[b]
-                if shared:
-                    triples.append(
-                        dict(
-                            subj=a,
-                            pred=SUPPORT_PRED,
-                            obj=b,
-                            edge_source=SUPPORT_SOURCE,
-                            publications=sorted(shared),
-                            input_identifiers="",
-                        )
-                    )
+        for name in supporters:
+            triples.extend(
+                _SUPPORTER_ORACLES[name](
+                    fixture_dir, graph_nodes, rep_map, members, meta,
+                    publication_cap, ctime,
+                )
+            )
 
     # --- nodes with sorted equivalent_identifiers ---
-    members: dict[str, list[str]] = defaultdict(list)
-    for curie, rep in rep_map.items():
-        members[rep].append(curie)
     all_node_ids = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
     nodes = [
         dict(
@@ -243,3 +278,139 @@ def compute_golden(
         for r in all_node_ids
     ]
     return nodes, triples
+
+
+# --------------------------------------------------------------------------
+# supporter oracles (each mirrors one operators/supporters.py plugin)
+# --------------------------------------------------------------------------
+
+
+def _read_pairs(fixture_dir: str, name: str, cols: tuple[str, str]):
+    t = pq.read_table(f"{fixture_dir}/{name}.parquet")
+    return list(zip(t.column(cols[0]).to_pylist(), t.column(cols[1]).to_pylist()))
+
+
+def _oracle_omnicorp(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+    pmids: dict[str, set[str]] = defaultdict(set)
+    for curie, pmid in _read_pairs(fixture_dir, "term_pmids", ("curie", "pmid")):
+        pmids[rep_map.get(curie, curie)].add(pmid)
+    out = []
+    for i, a in enumerate(graph_nodes):
+        for b in graph_nodes[i + 1 :]:
+            shared = pmids[a] & pmids[b]
+            if shared:
+                pubs = sorted(shared)[:cap]
+                out.append(
+                    _edge_dict(
+                        a, SUPPORT_PRED, b, SUPPORT_SOURCE, pubs, "",
+                        "omnicorp:1", "literature_co-occurrence", ctime,
+                        {"num_publications": str(len(pubs))},
+                    )
+                )
+    return out
+
+
+def _oracle_chemotext(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+    """builder/chemotext.py:8-68: MeSH-synonym shared-article pairs."""
+    mesh_terms = dict(_read_pairs(fixture_dir, "mesh_terms", ("mesh_curie", "term_name")))
+    term_arts: dict[str, set[str]] = defaultdict(set)
+    for term, pmid in _read_pairs(fixture_dir, "term_articles", ("term_name", "pmid")):
+        term_arts[term].add(pmid)
+    node_arts: dict[str, set[str]] = {}
+    for n in graph_nodes:
+        arts: set[str] = set()
+        for syn in members.get(n, [n]):
+            if syn.startswith("MESH:") and syn in mesh_terms:
+                arts |= term_arts[mesh_terms[syn]]
+        if arts:
+            node_arts[n] = arts
+    out = []
+    keyed = sorted(node_arts)
+    for i, a in enumerate(keyed):
+        for b in keyed[i + 1 :]:
+            shared = node_arts[a] & node_arts[b]
+            if shared:
+                pubs = sorted(shared)[:cap]
+                out.append(
+                    _edge_dict(
+                        a, "biolink:literature_co-occurrence", b,
+                        "chemotext.term_to_term", pubs, "",
+                        "chemotext:1", "literature_co-occurence", ctime,
+                        {"num_publications": str(len(pubs))},
+                    )
+                )
+    return out
+
+
+def _oracle_cdw(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+    """builder/cdw.py:9-103 with the '<11' sentinel fallback."""
+    counts = dict(_read_pairs(fixture_dir, "cdw_counts", ("icd9", "count")))
+    t = pq.read_table(f"{fixture_dir}/cdw_paircounts.parquet").to_pylist()
+    paircounts = {}
+    for r in t:
+        paircounts[(r["icd9_a"], r["icd9_b"])] = (r["c1"], r["c2"], r["c"], r["p"])
+        paircounts[(r["icd9_b"], r["icd9_a"])] = (r["c2"], r["c1"], r["c"], r["p"])
+    icd9: dict[str, str] = {}
+    for n in graph_nodes:
+        codes = [s for s in members.get(n, [n]) if s.startswith("ICD9CM:")]
+        if codes:
+            icd9[n] = min(codes)
+    out = []
+    keyed = sorted(icd9)
+    for i, a in enumerate(keyed):
+        for b in keyed[i + 1 :]:
+            ca, cb = icd9[a], icd9[b]
+            if ca not in counts or cb not in counts:  # F7 known-code guard
+                continue
+            if (ca, cb) in paircounts:
+                c1, c2, c, p = paircounts[(ca, cb)]
+                sentinel = str(c)
+            else:
+                c1, c2, p = counts[ca], counts[cb], None
+                sentinel = "<11"
+            e = float(c1) * float(c2) / float(CDW_TOTAL)
+            out.append(
+                _edge_dict(
+                    a, "biolink:occurs_together_in_clinical_records", b,
+                    "cdw.term_to_term", [], "",
+                    "cdw:1", "clinical co-occurrence", ctime,
+                    {"c": sentinel, "e": f"{e:.6f}", "p": f"{p:.6f}" if p is not None else None},
+                )
+            )
+    return out
+
+
+def _oracle_chemotext2(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+    """builder/chemotext2.py:9-70: max token-pair label similarity."""
+    node_toks: dict[str, list[str]] = {}
+    for n in graph_nodes:
+        name = meta.get(n, ("", ""))[1]
+        toks = _tokenize_label(name)
+        if toks:
+            node_toks[n] = toks
+    vecs = {t: featurize(t) for toks in node_toks.values() for t in toks}
+    out = []
+    keyed = sorted(node_toks)
+    for i, a in enumerate(keyed):
+        for b in keyed[i + 1 :]:
+            best = max(
+                (round(float(vecs[ta] @ vecs[tb]), 6), ta, tb)
+                for ta in node_toks[a]
+                for tb in node_toks[b]
+            )
+            out.append(
+                _edge_dict(
+                    a, "biolink:similar_to", b, "chemotext2.term_to_term", [], "",
+                    "chemotext2:1", "similarity", ctime,
+                    {"similarity": f"{best[0]:.6f}", "terms": f"{best[1]}|{best[2]}"},
+                )
+            )
+    return out
+
+
+_SUPPORTER_ORACLES = {
+    "omnicorp": _oracle_omnicorp,
+    "cdw": _oracle_cdw,
+    "chemotext2": _oracle_chemotext2,
+    "chemotext": _oracle_chemotext,
+}

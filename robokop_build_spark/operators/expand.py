@@ -38,7 +38,16 @@ def canonicalize_predicate_map(pm: DataFrame, rep_map: DataFrame) -> DataFrame:
     """Re-key concrete edges into representative space (both endpoints)."""
     pm2 = resolve_aliases(pm, rep_map, "subj_curie", out="subj_rep")
     pm2 = resolve_aliases(pm2, rep_map, "obj_curie", out="obj_rep")
-    return pm2.select("src_type", "dst_type", "op_name", "pred", "subj_rep", "obj_rep")
+    return pm2.select(
+        "src_type",
+        "dst_type",
+        "op_name",
+        "pred",
+        "subj_rep",
+        "obj_rep",
+        "orig_pred_id",
+        "orig_pred_label",
+    )
 
 
 def _alive_sets(
@@ -122,7 +131,7 @@ def expand_path(
     for h, (src_t, dst_t) in enumerate(zip(path_types, path_types[1:])):
         edges = pm_rep.filter(
             (F.col("src_type") == src_t) & (F.col("dst_type") == dst_t)
-        ).select("subj_rep", "obj_rep", "pred", "op_name")
+        ).select("subj_rep", "obj_rep", "pred", "op_name", "orig_pred_id", "orig_pred_label")
         if alive is not None and alive[h + 1] is not None:
             # restrict the (broadcast-sized) edge table itself — cheaper
             # than filtering doc-scale hop rows after the join
@@ -140,6 +149,8 @@ def expand_path(
                 "pred",
                 F.col("obj_rep").alias("obj"),
                 F.col("op_name").alias("edge_source"),
+                "orig_pred_id",
+                "orig_pred_label",
                 "start",
             )
         )
@@ -181,32 +192,67 @@ def origin_map(doc_entities: DataFrame) -> DataFrame:
     )
 
 
-def aggregate_triples(raw: DataFrame, origins: DataFrame) -> DataFrame:
+def aggregate_triples(
+    raw: DataFrame,
+    origins: DataFrame,
+    publication_cap: int = 10_000,
+    ctime: int = 0,
+) -> DataFrame:
     """Dedup on (subj, pred, obj, edge_source) (builder/builder.py:218-226),
-    folding per-doc provenance into sorted publications; input_identifiers
-    (the reference's input_id lineage, builder/builder.py:36) = distinct
-    original mention CURIEs of every path-start entity that triggered the
-    edge — identical to accumulating per-row, but computed as one hash agg
-    over narrow rows + a broadcast join against the entity-bounded origin
-    map."""
+    folding per-doc provenance into sorted publications (capped — the
+    reference's per-pair LIMIT 10000, builder/chemotext.py:53, applied as a
+    bounded two-phase top-k so a hub edge never owns an unbounded
+    aggregation buffer); input_identifiers (the reference's input_id
+    lineage, builder/builder.py:36) = distinct original mention CURIEs of
+    every path-start entity that triggered the edge — identical to
+    accumulating per-row, but computed as one hash agg over narrow rows + a
+    broadcast join against the entity-bounded origin map.
+
+    Output carries the full reference edge schema (export_edge,
+    builder/builder.py:31-41): ctime (unix epoch, injected for determinism),
+    url (op-derived), standard_label, original_predicate_id/label, and an
+    (empty — expansion ops carry none) properties map.
+    """
+    from .topk import capped_sorted_set
+
     key = ["subj", "pred", "obj", "edge_source"]
-    agg = raw.groupBy(*key).agg(
-        F.array_sort(F.collect_set(F.concat(F.lit("DOC:"), F.col("doc_id")))).alias(
-            "publications"
-        ),
-        F.collect_set("start").alias("starts"),
+    pubs = capped_sorted_set(
+        raw.select(*key, F.concat(F.lit("DOC:"), F.col("doc_id")).alias("pub")),
+        key,
+        "pub",
+        publication_cap,
+        out="publications",
     )
-    # inputs computed on narrow (edge-key, start) rows so the big
-    # publications arrays are never reshuffled; both sides are edge-bounded
+    # inputs + original-predicate metadata on narrow (edge-key, start) rows
+    # so the big publications arrays are never reshuffled; both sides of the
+    # final join are edge-bounded
+    se = raw.select(*key, "orig_pred_id", "orig_pred_label", "start").distinct()
     inputs = (
-        agg.select(*key, F.explode("starts").alias("rep"))
+        se.withColumnRenamed("start", "rep")
         .join(F.broadcast(origins), "rep")
         .groupBy(*key)
         .agg(
             F.concat_ws(
                 ",",
                 F.array_sort(F.array_distinct(F.flatten(F.collect_list("origs")))),
-            ).alias("input_identifiers")
+            ).alias("input_identifiers"),
+            # functionally determined by the edge key in the fixtures; min
+            # for run-to-run determinism if a source ever maps two originals
+            # onto one standard predicate
+            F.min("orig_pred_id").alias("original_predicate_id"),
+            F.min("orig_pred_label").alias("original_predicate_label"),
         )
     )
-    return agg.drop("starts").join(inputs, key)
+    return pubs.join(inputs, key).select(
+        *key,
+        "publications",
+        "input_identifiers",
+        F.lit(ctime).cast("long").alias("ctime"),
+        F.concat(F.lit("op://"), F.col("edge_source"), F.lit("/"), F.col("subj")).alias(
+            "url"
+        ),
+        F.substring_index("pred", ":", -1).alias("standard_label"),
+        "original_predicate_id",
+        "original_predicate_label",
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )

@@ -142,7 +142,15 @@ def stage_metrics(df: DataFrame, stage: str, by: str | None = None) -> DataFrame
     (SURVEY.md §4 custom piece #3): counts + content checksum, keyed by
     stage and (optionally) output partition."""
     key = F.coalesce(F.col(by), F.lit("__null__")) if by else F.lit("__all__")
+    # xxhash64 rejects MapType inputs: stringify map columns (sorted keys so
+    # the checksum is order-independent) and hash everything else directly
+    hash_cols = [
+        F.to_json(F.map_from_entries(F.array_sort(F.map_entries(F.col(c)))))
+        if t.startswith("map")
+        else F.col(c)
+        for c, t in df.dtypes
+    ]
     return df.groupBy(key.alias("partition_key")).agg(
         F.count(F.lit(1)).alias("row_count"),
-        F.coalesce(F.bit_xor(F.xxhash64(*df.columns)), F.lit(0)).alias("checksum"),
+        F.coalesce(F.bit_xor(F.xxhash64(*hash_cols)), F.lit(0)).alias("checksum"),
     ).select(F.lit(stage).alias("stage"), "partition_key", "row_count", "checksum")

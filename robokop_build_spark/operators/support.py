@@ -17,17 +17,50 @@ SUPPORT_SOURCE = "omnicorp.term_to_term"
 CDW_TOTAL = 269332  # grand total of patients, builder/cdw.py:16
 
 
+def finalize_support_edges(
+    df: DataFrame,
+    pred: str,
+    source: str,
+    orig_pred_id: str,
+    orig_pred_label: str,
+    ctime: int = 0,
+) -> DataFrame:
+    """Project supporter rows (subj, obj, publications, properties) onto the
+    full reference edge schema (export_edge, builder/builder.py:31-41)."""
+    return df.select(
+        "subj",
+        F.lit(pred).alias("pred"),
+        "obj",
+        F.lit(source).alias("edge_source"),
+        "publications",
+        F.lit("").alias("input_identifiers"),
+        F.lit(ctime).cast("long").alias("ctime"),
+        F.concat(F.lit("op://"), F.lit(source), F.lit("/"), F.col("subj")).alias("url"),
+        F.lit(pred.split(":")[1]).alias("standard_label"),
+        F.lit(orig_pred_id).alias("original_predicate_id"),
+        F.lit(orig_pred_label).alias("original_predicate_label"),
+        "properties",
+    )
+
+
 def shared_pmid_support(
-    graph_nodes: DataFrame, term_pmids_rep: DataFrame
+    graph_nodes: DataFrame,
+    term_pmids_rep: DataFrame,
+    publication_cap: int = 10_000,
+    ctime: int = 0,
 ) -> DataFrame:
     """Omnicorp analog (builder/omnicorp.py:21-33, SURVEY.md §2.3 J6):
     support edge (a, correlated_with, b) for every unordered graph-node pair
-    sharing ≥1 PMID; publications = sorted shared PMIDs.
+    sharing ≥1 PMID; publications = sorted shared PMIDs, capped (the
+    reference's per-pair article LIMIT, builder/chemotext.py:53) via the
+    bounded two-phase top-k — a hub pair never owns an unbounded buffer.
 
     Shape: semi-join term_pmids down to graph nodes (small), then a
-    self-equi-join on pmid + hash agg — replaces O(n²) per-pair RPCs.
+    self-equi-join on pmid + bounded top-k — replaces O(n²) per-pair RPCs.
     graph_nodes: (id); term_pmids_rep: (rep, pmid).
     """
+    from .topk import capped_sorted_set
+
     tp = (
         term_pmids_rep.join(
             F.broadcast(graph_nodes.select(F.col("id").alias("rep"))), "rep"
@@ -37,17 +70,22 @@ def shared_pmid_support(
     )
     a, b = tp.alias("a"), tp.alias("b")
     pairs = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
-    return (
-        pairs.groupBy(F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"))
-        .agg(F.array_sort(F.collect_set("pmid")).alias("publications"))
-        .select(
-            "subj",
-            F.lit(SUPPORT_PRED).alias("pred"),
-            "obj",
-            F.lit(SUPPORT_SOURCE).alias("edge_source"),
-            "publications",
-            F.lit("").alias("input_identifiers"),
-        )
+    agg = capped_sorted_set(
+        pairs.select(
+            F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"), "pmid"
+        ),
+        ["subj", "obj"],
+        "pmid",
+        publication_cap,
+        out="publications",
+    ).withColumn(
+        "properties",
+        F.create_map(
+            F.lit("num_publications"), F.size("publications").cast("string")
+        ),
+    )
+    return finalize_support_edges(
+        agg, SUPPORT_PRED, SUPPORT_SOURCE, "omnicorp:1", "literature_co-occurrence", ctime
     )
 
 

@@ -6,18 +6,22 @@ construction, the per-pair scorer becomes one set-at-a-time join/agg over
 all pairs (SURVEY.md §2.10 E1).
 
 Each supporter consumes (graph_nodes, rep_map, tables) and returns
-support-edge rows: (subj, pred, obj, edge_source, publications,
-input_identifiers) + supporter-specific metric columns folded into
-`properties` (map<string,string>), mirroring KEdge.properties.
+support-edge rows in the full reference edge schema (export_edge,
+builder/builder.py:31-41): (subj, pred, obj, edge_source, publications,
+input_identifiers, ctime, url, standard_label, original_predicate_id,
+original_predicate_label, properties).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..operators.matching import featurize
-from .support import cdw_pair_lookup, shared_pmid_support
+from .support import cdw_pair_lookup, finalize_support_edges, shared_pmid_support
+from .topk import capped_sorted_set
 
 
 class OmnicorpSupporter:
@@ -25,16 +29,79 @@ class OmnicorpSupporter:
 
     name = "omnicorp"
 
-    def support(self, graph_nodes: DataFrame, rep_map: DataFrame, tables) -> DataFrame:
+    def support(
+        self,
+        graph_nodes: DataFrame,
+        rep_map: DataFrame,
+        tables,
+        publication_cap: int = 10_000,
+        ctime: int = 0,
+    ) -> DataFrame:
         from ..operators.canonicalize import resolve_aliases
 
         tp_rep = resolve_aliases(tables["term_pmids"], rep_map, "curie", out="rep")
-        out = shared_pmid_support(graph_nodes, tp_rep.select("rep", "pmid"))
-        return out.withColumn(
+        return shared_pmid_support(
+            graph_nodes, tp_rep.select("rep", "pmid"), publication_cap, ctime
+        )
+
+
+class ChemotextSupporter:
+    """builder/chemotext.py:8-68 (J7): MeSH-label literature co-occurrence.
+
+    prepare = node → MeSH synonyms (rep-map members with the MESH prefix) →
+    chemotext term labels (broadcast join; unknown mesh ids are skipped, the
+    reference warns, chemotext.py:30-36). term_to_term = shared-article
+    self-join with the per-pair LIMIT 10000 (chemotext.py:53) as a bounded
+    top-k. Union-of-intersections over label pairs ≡ intersection of the
+    nodes' article unions, so one node-level (rep, pmid) join suffices.
+    """
+
+    name = "chemotext"
+
+    def support(
+        self,
+        graph_nodes: DataFrame,
+        rep_map: DataFrame,
+        tables,
+        publication_cap: int = 10_000,
+        ctime: int = 0,
+    ) -> DataFrame:
+        mesh = (
+            rep_map.filter(F.col("curie").startswith("MESH:"))  # F2 prefix select
+            .join(F.broadcast(graph_nodes.select(F.col("id").alias("rep"))), "rep")
+            .select("rep", F.col("curie").alias("mesh_curie"))
+        )
+        node_pmids = (
+            mesh.join(F.broadcast(tables["mesh_terms"]), "mesh_curie")
+            .join(F.broadcast(tables["term_articles"]), "term_name")
+            .select("rep", "pmid")
+            .distinct()
+        )
+        a, b = node_pmids.alias("a"), node_pmids.alias("b")
+        pairs = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
+        agg = capped_sorted_set(
+            pairs.select(
+                F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"), "pmid"
+            ),
+            ["subj", "obj"],
+            "pmid",
+            publication_cap,
+            out="publications",
+        ).withColumn(
             "properties",
             F.create_map(
                 F.lit("num_publications"), F.size("publications").cast("string")
             ),
+        )
+        # original predicate preserves the reference's KEdge values verbatim
+        # (chemotext.py:62-64, including the 'co-occurence' spelling)
+        return finalize_support_edges(
+            agg,
+            "biolink:literature_co-occurrence",
+            "chemotext.term_to_term",
+            "chemotext:1",
+            "literature_co-occurence",
+            ctime,
         )
 
 
@@ -46,7 +113,14 @@ class CdwSupporter:
 
     name = "cdw"
 
-    def support(self, graph_nodes: DataFrame, rep_map: DataFrame, tables) -> DataFrame:
+    def support(
+        self,
+        graph_nodes: DataFrame,
+        rep_map: DataFrame,
+        tables,
+        publication_cap: int = 10_000,
+        ctime: int = 0,
+    ) -> DataFrame:
         icd9 = (
             rep_map.filter(F.col("curie").startswith("ICD9CM:"))  # F2 prefix select
             .join(F.broadcast(graph_nodes.select(F.col("id").alias("rep"))), "rep")
@@ -61,34 +135,74 @@ class CdwSupporter:
             tables["cdw_counts"],
             tables["cdw_paircounts"],
         )
-        return scored.select(
+        edges = scored.select(
             F.col("rep_a").alias("subj"),
-            F.lit("biolink:occurs_together_in_clinical_records").alias("pred"),
             F.col("rep_b").alias("obj"),
-            F.lit("cdw.term_to_term").alias("edge_source"),
             F.array().cast("array<string>").alias("publications"),
-            F.lit("").alias("input_identifiers"),
+            # %.6f, not cast-to-string: Java double→string flips to
+            # scientific notation below 1e-3 and would desync from any
+            # python/SQL twin
             F.create_map(
                 F.lit("c"), F.col("c_sentinel"),
-                F.lit("e"), F.round("e", 6).cast("string"),
-                F.lit("p"), F.col("p").cast("string"),
+                F.lit("e"), F.format_string("%.6f", F.col("e")),
+                F.lit("p"), F.when(
+                    F.col("p").isNotNull(), F.format_string("%.6f", F.col("p"))
+                ),
             ).alias("properties"),
         )
+        return finalize_support_edges(
+            edges,
+            "biolink:occurs_together_in_clinical_records",
+            "cdw.term_to_term",
+            "cdw:1",
+            "clinical co-occurrence",
+            ctime,
+        )
+
+
+def featurize_tokens(tokens: DataFrame, tok_col: str = "tok") -> DataFrame:
+    """Distributed token featurization: Arrow-batched mapInPandas over the
+    (dimension-sized) distinct-token table — replaces the round-1 driver
+    collect+createDataFrame (the vocabulary never routes through the
+    driver)."""
+    from .matching import featurize
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "tok": pdf[tok_col],
+                    "vec": [[float(x) for x in featurize(t)] for t in pdf[tok_col]],
+                }
+            )
+
+    return tokens.select(F.col(tok_col).alias("tok")).mapInPandas(
+        run, schema="tok string, vec array<double>"
+    )
 
 
 class MaxSimSupporter:
     """builder/chemotext2.py:9-70: per pair, the max token-pair similarity
     between the two node labels. Label tokenization (X5 translate+split,
-    F3 stopword/length filter) + deterministic hashed token vectors
-    (driver-built, broadcast-sized vocabulary) + within-pair cross join +
-    max_by (A6/J9)."""
+    F3 stopword/length filter) + distributed hashed token vectors
+    (featurize_tokens) + node-granular pairing: tokens are grouped into one
+    (tok, vec) array per node first, so the all-pairs join is over nodes
+    (the reference is also O(n²) in nodes) and the token-level max runs
+    inside one flatten(transform×transform) + array_max expression — never
+    a token-level cross join, never a driver-side vocabulary collect."""
 
     name = "chemotext2"
 
     BADWORDS = {"disease", "syndrome", "type", "and", "the", "with", "of"}
 
-    def support(self, graph_nodes: DataFrame, rep_map: DataFrame, tables) -> DataFrame:
-        spark = graph_nodes.sparkSession
+    def support(
+        self,
+        graph_nodes: DataFrame,
+        rep_map: DataFrame,
+        tables,
+        publication_cap: int = 10_000,
+        ctime: int = 0,
+    ) -> DataFrame:
         labels = (
             rep_map.select("rep", "name")
             .distinct()
@@ -102,42 +216,62 @@ class MaxSimSupporter:
         ).filter(
             (F.length("tok") > 2) & (~F.col("tok").isin(*sorted(self.BADWORDS)))
         )
-        vocab = [r["tok"] for r in toks.select("tok").distinct().collect()]
-        vecs = [(t, [float(x) for x in featurize(t)]) for t in sorted(vocab)]
-        vec_df = spark.createDataFrame(vecs, ["tok", "vec"])
+        vec_df = featurize_tokens(toks.select("tok").distinct())
         tv = toks.join(F.broadcast(vec_df), "tok")
-        a = tv.select(
-            F.col("rep").alias("subj"), F.col("tok").alias("tok_a"), F.col("vec").alias("va")
+        node_toks = tv.groupBy("rep").agg(
+            F.collect_list(F.struct("tok", "vec")).alias("tvs")
         )
-        b = tv.select(
-            F.col("rep").alias("obj"), F.col("tok").alias("tok_b"), F.col("vec").alias("vb")
-        )
+        a = node_toks.select(F.col("rep").alias("subj"), F.col("tvs").alias("ta"))
+        b = node_toks.select(F.col("rep").alias("obj"), F.col("tvs").alias("tb"))
         crossed = a.join(b, F.col("subj") < F.col("obj"))  # F9 self-pair filter
-        dot = F.aggregate(
-            F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v
+        dot = lambda x, y: F.aggregate(  # noqa: E731
+            F.zip_with(x["vec"], y["vec"], lambda p, q: p * q),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
         )
-        scored = crossed.withColumn("sim", F.round(dot, 6))
-        best = scored.groupBy("subj", "obj").agg(
-            F.max_by(F.struct("tok_a", "tok_b", "sim"), F.struct("sim", "tok_a", "tok_b")).alias(
-                "best"
+        # struct ordering (sim, tok_a, tok_b) reproduces the reference
+        # argmax's deterministic tie-break (A6/J9)
+        sims = F.flatten(
+            F.transform(
+                F.col("ta"),
+                lambda x: F.transform(
+                    F.col("tb"),
+                    lambda y: F.struct(
+                        F.round(dot(x, y), 6).alias("sim"),
+                        x["tok"].alias("tok_a"),
+                        y["tok"].alias("tok_b"),
+                    ),
+                ),
             )
         )
-        return best.select(
+        best = crossed.withColumn("best", F.array_max(sims))
+        edges = best.select(
             "subj",
-            F.lit("biolink:similar_to").alias("pred"),
             "obj",
-            F.lit("chemotext2.term_to_term").alias("edge_source"),
             F.array().cast("array<string>").alias("publications"),
-            F.lit("").alias("input_identifiers"),
             F.create_map(
-                F.lit("similarity"), F.col("best.sim").cast("string"),
+                F.lit("similarity"), F.format_string("%.6f", F.col("best.sim")),
                 F.lit("terms"), F.concat_ws("|", "best.tok_a", "best.tok_b"),
             ).alias("properties"),
+        )
+        return finalize_support_edges(
+            edges,
+            "biolink:similar_to",
+            "chemotext2.term_to_term",
+            "chemotext2:1",
+            "similarity",
+            ctime,
         )
 
 
 SUPPORTERS = {
-    s.name: s for s in (OmnicorpSupporter(), CdwSupporter(), MaxSimSupporter())
+    s.name: s
+    for s in (
+        OmnicorpSupporter(),
+        CdwSupporter(),
+        MaxSimSupporter(),
+        ChemotextSupporter(),
+    )
 }
 
 

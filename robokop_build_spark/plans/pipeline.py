@@ -24,7 +24,6 @@ from ..operators.expand import (
 )
 from ..operators.extract import detect_mentions, explode_spans
 from ..operators.materialize import build_nodes, stage_metrics, validate_triples
-from ..operators.support import shared_pmid_support
 from ..sources.checkpoint import CheckpointManager
 from ..sources.readers import read_fixtures
 from .query import enumerate_programs, tokenize_path
@@ -52,6 +51,13 @@ class PipelineConfig:
     norm_join_strategy: str = "broadcast"  # 'salted' when map > broadcast budget
     nsalt: int = 8
     with_support: bool = True
+    # supporter modules to run (reference -s flag, builder/builder.py:320-362);
+    # with_support=False disables all
+    supporters: list[str] = field(default_factory=lambda: ["omnicorp"])
+    # per-edge provenance cap (reference LIMIT 10000, builder/chemotext.py:53)
+    publication_cap: int = 10_000
+    # edge ctime (unix epoch) — injected, not now(), so runs are reproducible
+    ctime: int = 0
     cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
 
     def query_key(self, programs: list[list[str]]) -> str:
@@ -63,14 +69,16 @@ class PipelineConfig:
         import hashlib
         import json
 
+        sups = sorted(self.supporters) if self.with_support else []
         if (
             programs == [DGX_PATH]
             and not self.end_values
             and not self.require_complete
+            and sups == ["omnicorp"]
         ):
             return ""
         sig = json.dumps(
-            [programs, sorted(self.end_values or []), self.require_complete]
+            [programs, sorted(self.end_values or []), self.require_complete, sups]
         )
         return "@" + hashlib.md5(sig.encode()).hexdigest()[:8]
 
@@ -166,7 +174,12 @@ class KGPipeline:
             raw = expand_programs(
                 doc_entities, pm_rep, programs, end_reps, cfg.require_complete
             )
-            return aggregate_triples(raw, origin_map(doc_entities))
+            return aggregate_triples(
+                raw,
+                origin_map(doc_entities),
+                publication_cap=cfg.publication_cap,
+                ctime=cfg.ctime,
+            )
 
         # two commit points: the support stage derives graph_nodes from the
         # expansion triples AND unions them back — materializing the base
@@ -174,22 +187,34 @@ class KGPipeline:
         triples_base = ckpt.run_stage(f"triples_base{qk}", _triples_base)
 
         def _triples() -> DataFrame:
+            from ..operators.supporters import get_supporter
+
             triples = triples_base
-            if cfg.with_support:
+            sups = cfg.supporters if cfg.with_support else []
+            if sups:
                 graph_nodes = (
                     triples.select(F.col("subj").alias("id"))
                     .union(triples.select(F.col("obj").alias("id")))
                     .distinct()
                 )
-                tp_rep = resolve_aliases(
-                    t["term_pmids"], rep_map, "curie", out="rep"
-                ).select("rep", "pmid")
-                triples = triples.unionByName(
-                    shared_pmid_support(graph_nodes, tp_rep)
-                )
+                for name in sups:
+                    triples = triples.unionByName(
+                        get_supporter(name).support(
+                            graph_nodes,
+                            rep_map,
+                            t,
+                            publication_cap=cfg.publication_cap,
+                            ctime=cfg.ctime,
+                        )
+                    )
             return validate_triples(triples)
 
         triples = ckpt.run_stage(f"triples{qk}", _triples, partition_by=["pred"])
+        # partitioned read-back floats the partition column out of place;
+        # re-assert the contractual column order (schemas.TRIPLES)
+        from ..schemas import TRIPLES
+
+        triples = triples.select(*[f.name for f in TRIPLES.fields])
 
         nodes = ckpt.run_stage(
             f"nodes{qk}",

@@ -13,6 +13,7 @@ from pyspark.sql.types import (
     FloatType,
     IntegerType,
     LongType,
+    MapType,
     StringType,
     StructField,
     StructType,
@@ -66,6 +67,24 @@ PREDICATE_MAP = StructType(
         StructField("pred", StringType()),
         StructField("subj_curie", StringType()),
         StructField("obj_curie", StringType()),
+        StructField("orig_pred_id", StringType()),
+        StructField("orig_pred_label", StringType()),
+    ]
+)
+
+# Chemotext side tables (builder/chemotext.py:22-36: mesh id → chemotext
+# term; term-pair → articles, modeled as term → article rows).
+MESH_TERMS = StructType(
+    [
+        StructField("mesh_curie", StringType()),
+        StructField("term_name", StringType()),
+    ]
+)
+
+TERM_ARTICLES = StructType(
+    [
+        StructField("term_name", StringType()),
+        StructField("pmid", StringType()),
     ]
 )
 
@@ -127,7 +146,9 @@ NODES = StructType(
 )
 
 # Materialized triple table (reference analog: export_edge fields,
-# builder/builder.py:16-41).
+# builder/builder.py:16-41: edge_source, ctime, standard_label,
+# original_predicate_id, original_predicate_label, publications, url,
+# input_identifiers — plus the per-supporter properties map, KEdge.properties).
 TRIPLES = StructType(
     [
         StructField("subj", StringType()),
@@ -136,5 +157,11 @@ TRIPLES = StructType(
         StructField("edge_source", StringType()),
         StructField("publications", ArrayType(StringType())),
         StructField("input_identifiers", StringType()),
+        StructField("ctime", LongType()),
+        StructField("url", StringType()),
+        StructField("standard_label", StringType()),
+        StructField("original_predicate_id", StringType()),
+        StructField("original_predicate_label", StringType()),
+        StructField("properties", MapType(StringType(), StringType())),
     ]
 )

@@ -16,6 +16,8 @@ FIXTURE_TABLES = [
     "predicate_map",
     "entity_embeddings",
     "term_pmids",
+    "mesh_terms",
+    "term_articles",
     "cdw_counts",
     "cdw_paircounts",
 ]
