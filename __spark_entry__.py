@@ -6,11 +6,13 @@ deterministically at sf0.001 scale and returns the triples DataFrame.
 
 `queries()` / `oracle_sql()` cover the SURVEY.md §2 operator inventory: each
 key names the §2 row(s) it exercises; implementations live in
-robokop_build_spark/plans/benchmark_queries.py. Entries without an oracle
-(kg_end_to_end, kg_span_roundtrip, multimodal_media_features, dedup_simhash,
-ann_embedding_neardup) are non-SQL-expressible (CC fixpoint, Arrow UDFs,
-driver-side LSH plane constants) and rely on the pytest golden gates in
-tests/ instead.
+robokop_build_spark/plans/benchmark_queries.py. Queries without an ANSI-SQL
+formulation are oracled through generated parquet artifacts (independent
+pure-Python replays + exported constants, datagen/oracle_fixtures.py) read
+by DuckDB via read_parquet; the two remaining oracle-less entries
+(kg_span_roundtrip — a self-checking invariant returning a mismatch count
+asserted 0 in pytest — and multimodal_media_features — stubbed decode, no
+second implementation to compare against) rely on pytest gates instead.
 """
 
 from __future__ import annotations
@@ -19,7 +21,11 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from robokop_build_spark.plans.benchmark_queries import ORACLES, QUERIES
+from robokop_build_spark.plans.benchmark_queries import (
+    ORACLES,
+    QUERIES,
+    fixture_backed_oracles,
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -32,4 +38,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out.update(fixture_backed_oracles())
+    return out

@@ -97,25 +97,15 @@ def _tokenize_label(name: str) -> list[str]:
     return [t for t in toks if t not in badwords]
 
 
-def compute_golden(
-    fixture_dir: str,
-    programs: list[list[str]] | None = None,
-    end_values: list[str] | None = None,
-    require_complete: bool = False,
-    with_support: bool = True,
-    supporters: tuple[str, ...] = ("omnicorp",),
-    publication_cap: int = 10_000,
-    ctime: int = 0,
-):
-    """Returns (nodes, triples): lists of dicts matching schemas.NODES /
-    schemas.TRIPLES for the given programs (default: the flagship DGX
-    chain) + the requested supporters' edges.
+_EXTRACT_CACHE: dict[str, tuple] = {}
 
-    programs: list of concrete node-type chains (the output of
-    plans.query.enumerate_programs — U1 union semantics across programs).
-    end_values / require_complete replay the end-bound / full-pattern
-    semantics of builder/userquery.py:104-126: an edge is emitted only when
-    it lies on a path that completes to a valid terminal."""
+
+def _extract_and_link(fixture_dir: str):
+    """Heavy fixture-independent prefix of the replay (mention detection +
+    linking + canonicalization), cached per fixture dir — the per-query
+    golden variants (programs / end-bound / supporters) all share it."""
+    if fixture_dir in _EXTRACT_CACHE:
+        return _EXTRACT_CACHE[fixture_dir]
     read = lambda n: pq.read_table(f"{fixture_dir}/{n}.parquet")  # noqa: E731
     docs = read("documents").to_pylist()
     lex = [tuple(r) for r in zip(*(read("lexicon").column(c).to_pylist() for c in ("surface", "curie", "node_type")))]
@@ -127,7 +117,6 @@ def compute_golden(
             )
         )
     )
-    pm = read("predicate_map").to_pylist()
     emb_tbl = read("entity_embeddings")
     emb_map = {
         c: np.asarray(v, dtype=np.float64)
@@ -161,6 +150,32 @@ def compute_golden(
                 rep = rep_map.get(cand.curie, cand.curie)
                 ntype = meta[rep][0] if rep in meta else cand.node_type
                 doc_ents[row["doc_id"]].add((rep, cand.curie, ntype))
+    _EXTRACT_CACHE[fixture_dir] = (rep_map, meta, members, doc_ents)
+    return _EXTRACT_CACHE[fixture_dir]
+
+
+def compute_golden(
+    fixture_dir: str,
+    programs: list[list[str]] | None = None,
+    end_values: list[str] | None = None,
+    require_complete: bool = False,
+    with_support: bool = True,
+    supporters: tuple[str, ...] = ("omnicorp",),
+    publication_cap: int = 10_000,
+    ctime: int = 0,
+):
+    """Returns (nodes, triples): lists of dicts matching schemas.NODES /
+    schemas.TRIPLES for the given programs (default: the flagship DGX
+    chain) + the requested supporters' edges.
+
+    programs: list of concrete node-type chains (the output of
+    plans.query.enumerate_programs — U1 union semantics across programs).
+    end_values / require_complete replay the end-bound / full-pattern
+    semantics of builder/userquery.py:104-126: an edge is emitted only when
+    it lies on a path that completes to a valid terminal."""
+    rep_map, meta, members, doc_ents = _extract_and_link(fixture_dir)
+    read = lambda n: pq.read_table(f"{fixture_dir}/{n}.parquet")  # noqa: E731
+    pm = read("predicate_map").to_pylist()
 
     # --- canonicalized predicate map, indexed by (src,dst) type pair ---
     pm_rep: dict[tuple[str, str], dict[str, list[tuple]]] = defaultdict(

@@ -1,0 +1,153 @@
+"""Oracle-side fixtures: deterministic parquet artifacts that let DuckDB
+reproduce the non-SQL-expressible queries bit-for-bit.
+
+Three artifact families, all version-keyed under /tmp/robokop_oracle:
+- golden_<kg query>.parquet — the pure-Python golden oracle's triples for
+  each KG pipeline query (flattened to the driver-facing column set), so the
+  driver's hash compare becomes Spark-pipeline vs independent-python-replay.
+- simhash_sigs.parquet — SimHash signatures of the driver documents table
+  computed by the scalar reference implementation (dedup.simhash_py, a
+  separate code path from the vectorized batch kernel), so the DuckDB twin
+  can reproduce the banded near-pair join over identical signatures.
+- neardup_planes.parquet — the hyperplane constants of the banded
+  embedding near-dup signatures, so DuckDB can recompute buckets + cosine.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# bump when any generation rule here changes (independent of fixture data
+# version, which is folded into the directory key as well)
+ORACLE_FIXTURE_VERSION = 1
+
+# driver-facing flattened edge columns (arrays/maps stringified so the
+# cross-engine value hash sees identical primitives)
+KG_COLUMNS = [
+    "subj",
+    "pred",
+    "obj",
+    "edge_source",
+    "input_identifiers",
+    "ctime",
+    "url",
+    "standard_label",
+    "original_predicate_id",
+    "original_predicate_label",
+    "publications",
+    "properties",
+]
+
+
+def flatten_triple(t: dict) -> dict:
+    """Golden-oracle triple dict → driver-facing flat row (mirrors the
+    select in plans/benchmark_queries._kg_select)."""
+    props = t["properties"] or {}
+    return {
+        **{k: t[k] for k in KG_COLUMNS[:10]},
+        "publications": ",".join(t["publications"]),
+        "properties": json.dumps(
+            {k: props[k] for k in sorted(props)}, separators=(",", ":")
+        ),
+    }
+
+
+def oracle_dir(sf: float) -> str:
+    from .fixtures import FIXTURE_VERSION
+
+    return f"/tmp/robokop_oracle/sf{sf}_v{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}"
+
+
+def _write(path: str, rows: list[dict], schema: pa.schema) -> None:
+    cols = {f.name: [r[f.name] for r in rows] for f in schema}
+    pq.write_table(pa.table(cols, schema=schema), path)
+
+
+_KG_SCHEMA = pa.schema(
+    [
+        (c, pa.int64() if c == "ctime" else pa.string()) for c in KG_COLUMNS
+    ]
+)
+
+
+def _kg_query_params(fixture_dir: str) -> dict[str, dict]:
+    """Golden-oracle parameters for each KG queries() entry — must mirror
+    the pipeline configs in plans/benchmark_queries."""
+    from ..plans.query import enumerate_programs, tokenize_path
+
+    pm = pq.read_table(f"{fixture_dir}/predicate_map.parquet")
+    metagraph = set(
+        zip(pm.column("src_type").to_pylist(), pm.column("dst_type").to_pylist())
+    )
+    prog = lambda p: enumerate_programs(tokenize_path(p), metagraph)  # noqa: E731
+    return {
+        "kg_end_to_end": dict(),  # default DGX + omnicorp
+        "kg_var_length": dict(programs=prog("D(1-2)G")),
+        "kg_multi_program": dict(programs=prog("D(1-3)X")),
+        "kg_end_bound": dict(
+            programs=[["disease", "gene"]],
+            end_values=["NCBIGENE:7000001"],
+            with_support=False,
+        ),
+    }
+
+
+def ensure_oracle_fixtures(sf: float, sf_dir: str) -> str:
+    """Generate (once, marker-guarded) every oracle artifact for the given
+    scale: the KG golden parquets require the pipeline fixtures (generated
+    on demand); the simhash/planes artifacts derive from the driver tables
+    in sf_dir."""
+    from ..operators.dedup import simhash_py
+    from ..operators.similarity import near_duplicate_planes
+    from .fixtures import ensure_fixtures
+    from .oracle import compute_golden
+
+    out = oracle_dir(sf)
+    marker = os.path.join(out, "_ORACLE_DONE")
+    if os.path.exists(marker):
+        return out
+    os.makedirs(out, exist_ok=True)
+
+    fixture_dir = ensure_fixtures(f"/tmp/robokop_fixtures/sf{sf}", sf)
+    for name, params in _kg_query_params(fixture_dir).items():
+        _, triples = compute_golden(fixture_dir, **params)
+        _write(
+            os.path.join(out, f"golden_{name}.parquet"),
+            [flatten_triple(t) for t in triples],
+            _KG_SCHEMA,
+        )
+
+    # simhash signatures of the DRIVER documents table (scalar reference)
+    docs = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    sig_rows = [
+        {"id": str(i), "simhash": simhash_py(t)}
+        for i, t in zip(docs.column("doc_id").to_pylist(), docs.column("text").to_pylist())
+    ]
+    _write(
+        os.path.join(out, "simhash_sigs.parquet"),
+        sig_rows,
+        pa.schema([("id", pa.string()), ("simhash", pa.int64())]),
+    )
+
+    # hyperplane constants for the banded embedding near-dup query
+    plane_rows = [
+        {"tbl": t, "bit": b, "vec": p}
+        for t, b, p in near_duplicate_planes(dim=64, n_tables=4, bits_per_table=8)
+    ]
+    _write(
+        os.path.join(out, "neardup_planes.parquet"),
+        plane_rows,
+        pa.schema(
+            [("tbl", pa.int32()), ("bit", pa.int32()), ("vec", pa.list_(pa.float64()))]
+        ),
+    )
+
+    with open(marker, "w") as f:
+        f.write("done")
+    return out

@@ -170,39 +170,67 @@ def minhash_lsh_pairs(
 SIMHASH_SCHEMA = "id string, simhash long"
 
 
+def simhash_py(text: str) -> int:
+    """Reference scalar SimHash (signed int64) — the definition the batch
+    UDF below must reproduce bit-for-bit; also used to build the DuckDB
+    oracle's signature fixture (a genuinely separate code path from the
+    vectorized batch kernel)."""
+    import hashlib
+
+    toks = [t for t in (text or "").split(" ") if t]
+    if not toks:
+        return 0
+    votes = [0] * 64
+    for t in toks:
+        d = hashlib.md5(t.encode()).digest()[:8]
+        v = int.from_bytes(d, "big")
+        for b in range(64):
+            votes[b] += (v >> (63 - b)) & 1
+    sh = 0
+    for b in range(64):
+        if votes[b] * 2 > len(toks):
+            sh |= 1 << (63 - b)
+    return sh - (1 << 64) if sh >= (1 << 63) else sh
+
+
 def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """64-bit SimHash over whitespace tokens, Arrow-batched + numpy-
-    vectorized (bit unpacking across the whole batch at once; the only loop
-    is per-batch). md5-derived token hashes keep it engine-reproducible."""
+    """64-bit SimHash over whitespace tokens, Arrow-batched and vectorized
+    across the whole batch: one np.add.at scatter per batch accumulates all
+    token votes; md5 runs once per *unique* token (cached across batches).
+    md5-derived token hashes keep it engine-reproducible (the DuckDB oracle
+    replays the same family via simhash_py)."""
     import hashlib
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        tok_cache: dict[str, bytes] = {}  # corpus tokens repeat heavily
-
-        def tok_digest(t: str) -> bytes:
-            d = tok_cache.get(t)
-            if d is None:
-                d = hashlib.md5(t.encode()).digest()[:8]
-                tok_cache[t] = d
-            return d
+        dig_cache: dict[str, bytes] = {}  # corpus tokens repeat heavily
 
         for pdf in batches:
-            ids, hashes = [], []
-            for i, text in zip(pdf["id"], pdf["text"]):
-                toks = [t for t in (text or "").split(" ") if t]
-                if not toks:
-                    ids.append(i)
-                    hashes.append(0)
-                    continue
-                hs = np.frombuffer(b"".join(map(tok_digest, toks)), dtype=">u8")
-                bits = np.unpackbits(hs.view(np.uint8)).reshape(len(toks), 64)
-                vote = bits.sum(axis=0) * 2 - len(toks)  # +1/-1 majority
-                sh = np.uint64(0)
-                for b in np.nonzero(vote > 0)[0]:
-                    sh |= np.uint64(1) << np.uint64(63 - b)
-                ids.append(i)
-                hashes.append(int(sh.view(np.int64)))
-            yield pd.DataFrame({"id": ids, "simhash": hashes})
+            n = len(pdf)
+            doc_tokens = [
+                [t for t in (x or "").split(" ") if t] for x in pdf["text"]
+            ]
+            counts = np.array([len(ts) for ts in doc_tokens], dtype=np.int64)
+            flat = [t for ts in doc_tokens for t in ts]
+            sh = np.zeros(n, dtype=np.int64)
+            if flat:
+                uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+                digs = np.empty((len(uniq), 8), dtype=np.uint8)
+                for i, t in enumerate(uniq):
+                    d = dig_cache.get(t)
+                    if d is None:
+                        d = hashlib.md5(t.encode()).digest()[:8]
+                        dig_cache[t] = d
+                    digs[i] = np.frombuffer(d, dtype=np.uint8)
+                bits_u = np.unpackbits(digs, axis=1)  # (n_uniq, 64), MSB-first
+                doc_idx = np.repeat(np.arange(n), counts)
+                votes = np.zeros((n, 64), dtype=np.int64)
+                np.add.at(votes, doc_idx, bits_u[inv])
+                maj = (votes * 2) > counts[:, None]  # zero-token rows: all False
+                packed = np.packbits(maj.astype(np.uint8), axis=1)  # MSB-first
+                sh = (
+                    packed.view(">u8").ravel().astype(np.uint64).view(np.int64)
+                )
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "simhash": sh})
 
     return docs.select(
         F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")

@@ -23,13 +23,30 @@ class NullPredicateError(ValueError):
     the job, not a silent drop (SURVEY.md §7 hard thing #5)."""
 
 
-def validate_triples(triples: DataFrame) -> DataFrame:
-    bad = triples.filter(
-        F.col("pred").isNull() | F.col("subj").isNull() | F.col("obj").isNull()
-    ).count()
-    if bad:
-        raise NullPredicateError(f"{bad} triples with NULL pred/subj/obj")
-    return triples
+def validate_triples(triples: DataFrame, eager: bool = False) -> DataFrame:
+    """Fatal NULL-key guard.
+
+    Default (lazy): the check rides inside the write job itself — the key
+    columns are wrapped in a raise_error branch, so a NULL aborts the job at
+    the row that carries it with ZERO extra passes (the previous .count()
+    forced a full second scan of the fact table before every write).
+    eager=True keeps the old behavior (separate counting job, raises
+    NullPredicateError before any write starts) for callers that want the
+    typed error without an action."""
+    bad = F.col("pred").isNull() | F.col("subj").isNull() | F.col("obj").isNull()
+    if eager:
+        n = triples.filter(bad).count()
+        if n:
+            raise NullPredicateError(f"{n} triples with NULL pred/subj/obj")
+        return triples
+    msg = F.concat(
+        F.lit("NullPredicateError: NULL pred/subj/obj in triple subj="),
+        F.coalesce(F.col("subj"), F.lit("NULL")),
+        F.lit(" obj="),
+        F.coalesce(F.col("obj"), F.lit("NULL")),
+    )
+    guarded = F.when(bad, F.raise_error(msg)).otherwise(F.col("pred"))
+    return triples.withColumn("pred", guarded)
 
 
 def build_nodes(triples: DataFrame, rep_map: DataFrame) -> DataFrame:

@@ -128,27 +128,69 @@ def lsh_topk(
     )
 
 
+def near_duplicate_planes(
+    dim: int, n_tables: int, bits_per_table: int, seed: int = 42
+) -> list[tuple[int, int, list[float]]]:
+    """(table, bit, plane) rows for the banded near-dup signatures —
+    driver-side constants, also exported as a parquet fixture so the DuckDB
+    oracle reproduces the buckets bit-for-bit."""
+    return [
+        (t, b, p)
+        for t in range(n_tables)
+        for b, p in enumerate(make_planes(dim, bits_per_table, seed=f"{seed}:{t}"))
+    ]
+
+
 def embedding_near_duplicates(
     embeddings: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     dim: int = 64,
-    n_bits: int = 10,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs (cos ≥ threshold), LSH-bucketed:
-    high-cosine pairs land in the same hyperplane bucket with high
-    probability, so the self-join is per-bucket, never global."""
-    planes = make_planes(dim, n_bits, seed)
+    """Embedding-cosine near-dup pairs (cos ≥ threshold), banded multi-table
+    LSH (mirrors the MinHash banding design, dedup.py): a pair is a
+    candidate when ANY table's full signature matches — recall compounds
+    across tables (1-(1-p^bits)^tables) while each table's bucket population
+    shrinks geometrically with bits_per_table, so per-bucket self-joins stay
+    small as the corpus grows (the round-1 single-table design had a FIXED
+    1024 buckets → linear bucket growth → quadratic join at 100 TB).
+
+    max_bucket_size: optional skew guard — buckets larger than the bound are
+    dropped before the self-join (a degenerate bucket, e.g. all-zero
+    embeddings, would otherwise go quadratic); near-dup pairs in a dropped
+    bucket still surface through the other n_tables-1 tables.
+    """
+    by_table = near_duplicate_planes(dim, n_tables, bits_per_table, seed)
     sig = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        hyperplane_signature(vec_col, planes).alias("bucket"),
-    )
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        hyperplane_signature(
+                            vec_col, [p for tt, _, p in by_table if tt == t]
+                        ).alias("sig"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("ts"),
+    ).select("id", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    if max_bucket_size is not None:
+        w = Window.partitionBy("tbl", "sig")
+        sig = sig.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
+            F.col("_n") <= max_bucket_size
+        ).drop("_n")
     a, b = sig.alias("a"), sig.alias("b")
     return (
-        a.join(b, "bucket")
+        a.join(b, ["tbl", "sig"])
         .filter(F.col("a.id") < F.col("b.id"))
         .withColumn("score", F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6))
         .filter(F.col("score") >= threshold)

@@ -49,20 +49,35 @@ def _fixture_dir_for(sf_dir: str) -> str:
 
 def kg_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full extract→link→canonicalize→materialize DGX build over
-    the interleaved-span corpus (BASELINE.json north_star). Non-SQL (CC
-    fixpoint + Arrow UDF) → rows-only check; exactness is covered by the
-    pytest golden gate (tests/test_pipeline_e2e.py)."""
-    from ..datagen.fixtures import FIXTURE_VERSION
-    from .pipeline import run_pipeline
+    the interleaved-span corpus (BASELINE.json north_star). Oracled against
+    a golden-triples parquet produced by the independent pure-Python replay
+    (datagen/oracle.py), exported for DuckDB by datagen/oracle_fixtures.py;
+    exactness is additionally pytest-gated (tests/test_pipeline_e2e.py)."""
+    # workdir is version-keyed inside _kg_query: checkpoints from an older
+    # fixture generation must never be resumed against newer fixtures
+    return _kg_query(spark, sf_dir)
 
-    sf = _sf_of(sf_dir)
-    fx = _fixture_dir_for(sf_dir)
-    # version-keyed workdir: checkpoints from an older fixture generation
-    # must never be resumed against newer fixtures
-    work = f"/tmp/robokop_work/sf{sf}_v{FIXTURE_VERSION}"
-    out = run_pipeline(spark, fx, work)
-    return out["triples"].select(
-        "subj", "pred", "obj", "edge_source", "input_identifiers"
+
+def _kg_select(triples: DataFrame) -> DataFrame:
+    """Driver-facing flattening of the full edge schema: arrays and maps
+    stringified (sorted) so the cross-engine value hash compares identical
+    primitives. Mirrors datagen.oracle_fixtures.flatten_triple."""
+    ent = F.array_sort(F.map_entries("properties"))
+    return triples.select(
+        "subj",
+        "pred",
+        "obj",
+        "edge_source",
+        "input_identifiers",
+        "ctime",
+        "url",
+        "standard_label",
+        "original_predicate_id",
+        "original_predicate_label",
+        F.concat_ws(",", "publications").alias("publications"),
+        F.when(F.size(ent) == 0, F.lit("{}"))
+        .otherwise(F.to_json(F.map_from_entries(ent)))
+        .alias("properties"),
     )
 
 
@@ -77,9 +92,7 @@ def _kg_query(spark: SparkSession, sf_dir: str, **pipeline_kwargs) -> DataFrame:
     fx = _fixture_dir_for(sf_dir)
     work = f"/tmp/robokop_work/sf{sf}_v{FIXTURE_VERSION}"
     out = run_pipeline(spark, fx, work, **pipeline_kwargs)
-    return out["triples"].select(
-        "subj", "pred", "obj", "edge_source", "input_identifiers"
-    )
+    return _kg_select(out["triples"])
 
 
 def kg_var_length(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -681,7 +694,11 @@ FROM banded x JOIN banded y
 
 
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-pairs (Arrow UDF; no SQL twin → rows-only check)."""
+    """SimHash near-pairs. Oracled: the DuckDB twin replays the banded
+    Hamming join over a signature fixture computed by the scalar reference
+    implementation (simhash_py) — so the check covers both the vectorized
+    batch kernel (must agree with simhash_py bit-for-bit) and the pair-join
+    machinery."""
     sim = D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
     return D.simhash_near_pairs(sim, max_hamming=2)
 
@@ -718,10 +735,13 @@ FROM (
 
 
 def ann_embedding_neardup(spark, sf_dir):
-    """LSH-bucketed embedding near-dup (plane constants driver-side; no SQL
-    twin → rows-only check)."""
+    """Banded multi-table LSH embedding near-dup. Oracled: the plane
+    constants are exported as parquet and the DuckDB twin recomputes
+    signatures, buckets, and cosine. Threshold 0.35 is the fixture-scale
+    value (the driver embeddings are random gaussians with no planted dups;
+    0.35 ≈ 2.8σ of the cosine null so candidate pairs exist)."""
     return SIM.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.55, dim=64
+        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35, dim=64
     )
 
 
@@ -848,6 +868,80 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
 }
+
+# --------------------------------------------------------------------------
+# fixture-backed oracles (generated parquet artifacts let DuckDB reproduce
+# the non-SQL-expressible queries; see datagen/oracle_fixtures.py)
+# --------------------------------------------------------------------------
+
+DRIVER_SF = 0.01  # the scale the external driver runs correctness at
+DRIVER_SF_DIR = "/root/testdata/sf0.01"
+
+_KG_ORACLE_COLS = (
+    "subj, pred, obj, edge_source, input_identifiers, ctime, url, "
+    "standard_label, original_predicate_id, original_predicate_label, "
+    "publications, properties"
+)
+
+
+def fixture_backed_oracles() -> dict[str, str]:
+    """SQL twins that read generated oracle artifacts. Generation is
+    marker-guarded and version-keyed; safe to call repeatedly."""
+    from ..datagen.oracle_fixtures import ensure_oracle_fixtures
+
+    d = ensure_oracle_fixtures(DRIVER_SF, DRIVER_SF_DIR)
+    oracles = {
+        name: f"SELECT {_KG_ORACLE_COLS} FROM read_parquet('{d}/golden_{name}.parquet')"
+        for name in ("kg_end_to_end", "kg_var_length", "kg_multi_program", "kg_end_bound")
+    }
+    # banded Hamming-distance join over the reference-implementation
+    # signatures (4×16-bit pigeonhole chunks, distance ≤ 2)
+    oracles["dedup_simhash"] = f"""
+WITH sigs AS (SELECT * FROM read_parquet('{d}/simhash_sigs.parquet')),
+chunks AS (
+  SELECT id, simhash, c.chunk, (simhash >> (c.chunk * 16)) & 65535 AS ckey
+  FROM sigs, (SELECT unnest(range(0, 4)) AS chunk) c
+)
+SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ckey = b.ckey AND a.id < b.id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+"""
+    # banded multi-table hyperplane signatures + per-bucket cosine ≥ 0.35
+    oracles["ann_embedding_neardup"] = f"""
+WITH planes AS (SELECT * FROM read_parquet('{d}/neardup_planes.parquet')),
+dots AS (
+  SELECT e.vec_id AS id, p.tbl, p.bit,
+    list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+      i -> CAST(e.embedding[i] AS DOUBLE) * p.vec[i])), (x, y) -> x + y) AS d
+  FROM embeddings e CROSS JOIN planes p
+),
+sigs AS (
+  SELECT id, tbl, CAST(sum(CASE WHEN d >= 0 THEN 1 << bit ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY id, tbl
+),
+cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM sigs a JOIN sigs b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+),
+scored AS (
+  SELECT id_a, id_b,
+    round(
+      list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(ea.embedding[i] AS DOUBLE))), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, 65),
+           i -> CAST(eb.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE))), (x, y) -> x + y)))
+    , 6) AS score
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.id_a
+  JOIN embeddings eb ON eb.vec_id = cand.id_b
+)
+SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
+"""
+    return oracles
+
 
 ORACLES = {
     "a1_count_by_lang": A1_SQL,

@@ -63,3 +63,27 @@ def test_embedding_near_duplicates(spark, emb_df):
     }
     assert (0, 1) in pairs
     assert all(a == 0 and b == 1 for a, b in pairs) or len(pairs) < 5
+
+
+def test_near_dup_bucket_cap_drops_degenerate_bucket(spark, vecs):
+    """max_bucket_size: a degenerate cluster (identical vectors → same
+    signature in every table) is dropped before the self-join; near-dups
+    outside the cluster still surface."""
+    clone = [float(x) for x in vecs[7]]
+    rows = [(int(i), [float(x) for x in vecs[i]]) for i in range(2)] + [
+        (100 + j, clone) for j in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(
+            df, threshold=0.95, dim=DIM, max_bucket_size=10
+        ).collect()
+    }
+    assert (0, 1) in capped
+    assert not any(a >= 100 and b >= 100 for a, b in capped)  # cluster dropped
+    uncapped = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_duplicates(df, threshold=0.95, dim=DIM).collect()
+    }
+    assert any(a >= 100 and b >= 100 for a, b in uncapped)  # cap was the cause
