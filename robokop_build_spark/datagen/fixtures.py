@@ -282,6 +282,14 @@ class Vocab:
                             (term, f"PMID:{rng.randint(10000, 99999)}")
                         )
 
+        # authority label lookup (enhance stage, builder/builder.py:424-445:
+        # mondo/hgnc label services) — ~60% coverage so both the authority
+        # and the fallback paths are exercised
+        self.label_lookup: list[tuple[str, str]] = []
+        for e in self.entities:
+            if e["idx"] % 5 < 3:
+                self.label_lookup.append((e["curie"], f"{e['name']} (authority)"))
+
         # hub surface pool for skewed mention sampling
         self.hub_surfaces = [e["surfaces"][0] for e in self.entities if e["is_hub"]]
         self.all_surfaces = (
@@ -422,6 +430,8 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     write("term_pmids", {"curie": tp[0], "pmid": tp[1]})
     mt = list(zip(*vocab.mesh_terms))
     write("mesh_terms", {"mesh_curie": mt[0], "term_name": mt[1]})
+    ll = list(zip(*vocab.label_lookup))
+    write("label_lookup", {"curie": ll[0], "label": ll[1]})
     ta = list(zip(*vocab.term_articles))
     write("term_articles", {"term_name": ta[0], "pmid": ta[1]})
     cc = list(zip(*vocab.cdw_counts))
@@ -440,7 +450,7 @@ def generate_fixtures(out_dir: str, sf: float, seed: int = SEED) -> None:
     )
 
 
-FIXTURE_VERSION = 6  # bump on any generator change: invalidates /tmp caches
+FIXTURE_VERSION = 7  # bump on any generator change: invalidates /tmp caches
 
 
 def ensure_fixtures(out_dir: str, sf: float, seed: int = SEED) -> str:

@@ -279,7 +279,9 @@ def compute_golden(
                 )
             )
 
-    # --- nodes with sorted equivalent_identifiers ---
+    # --- nodes with sorted equivalent_identifiers + enhance-stage labels ---
+    # (builder/builder.py:424-445: authority label > carried name > id)
+    labels = dict(_read_pairs(fixture_dir, "label_lookup", ("curie", "label")))
     all_node_ids = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
     nodes = [
         dict(
@@ -287,7 +289,7 @@ def compute_golden(
             # "unknown", not "": empty partition values don't survive
             # hive-style partitionBy round-trips (see materialize.build_nodes)
             node_type=meta.get(r, ("unknown", ""))[0],
-            name=meta.get(r, ("unknown", ""))[1],
+            name=labels.get(r) or meta.get(r, ("unknown", ""))[1] or r,
             equivalent_identifiers=sorted(members.get(r, [r])),
         )
         for r in all_node_ids

@@ -23,7 +23,12 @@ from ..operators.expand import (
     origin_map,
 )
 from ..operators.extract import detect_mentions, explode_spans
-from ..operators.materialize import build_nodes, stage_metrics, validate_triples
+from ..operators.materialize import (
+    build_nodes,
+    enhance_nodes,
+    stage_metrics,
+    validate_triples,
+)
 from ..sources.checkpoint import CheckpointManager
 from ..sources.readers import read_fixtures
 from .query import enumerate_programs, tokenize_path
@@ -58,6 +63,10 @@ class PipelineConfig:
     publication_cap: int = 10_000
     # edge ctime (unix epoch) — injected, not now(), so runs are reproducible
     ctime: int = 0
+    # enhance-stage fatal guard (reference hard-exits on a DOID primary id,
+    # builder/builder.py:314-317); empty by default because this engine's
+    # min-CURIE canonical rep legitimately surfaces alias prefixes
+    forbidden_id_prefixes: tuple[str, ...] = ()
     cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
 
     def query_key(self, programs: list[list[str]]) -> str:
@@ -218,7 +227,11 @@ class KGPipeline:
 
         nodes = ckpt.run_stage(
             f"nodes{qk}",
-            lambda: build_nodes(triples, rep_map),
+            lambda: enhance_nodes(
+                build_nodes(triples, rep_map),
+                t["label_lookup"],
+                forbidden_prefixes=cfg.forbidden_id_prefixes,
+            ),
             partition_by=["node_type"],
         )
 

@@ -18,6 +18,7 @@ FIXTURE_TABLES = [
     "term_pmids",
     "mesh_terms",
     "term_articles",
+    "label_lookup",
     "cdw_counts",
     "cdw_paircounts",
 ]

@@ -103,6 +103,40 @@ def test_publication_cap_applied(spark, fixture_dir, tmp_path_factory):
     assert any(len(t["publications"]) > cap for t in uncapped)
 
 
+def test_enhance_nodes_labels_and_guard(spark):
+    """Enhance stage (builder/builder.py:309-318, 424-445): authority label
+    wins, carried name second, identifier last; forbidden primary-id prefix
+    is fatal."""
+    from robokop_build_spark.operators.materialize import enhance_nodes
+
+    nodes = spark.createDataFrame(
+        [
+            ("MONDO:1", "disease", "carried", ["MONDO:1"]),
+            ("MONDO:2", "disease", "carried", ["MONDO:2"]),
+            ("UNREG:3", "unknown", "", ["UNREG:3"]),
+        ],
+        ["id", "node_type", "name", "equivalent_identifiers"],
+    )
+    lookup = spark.createDataFrame([("MONDO:1", "Authority")], ["curie", "label"])
+    got = {r["id"]: r["name"] for r in enhance_nodes(nodes, lookup).collect()}
+    assert got == {
+        "MONDO:1": "Authority",  # authority wins
+        "MONDO:2": "carried",  # carried name second
+        "UNREG:3": "UNREG:3",  # identifier fallback
+    }
+    bad = spark.createDataFrame(
+        [("DOID:9", "disease", "x", ["DOID:9"])],
+        ["id", "node_type", "name", "equivalent_identifiers"],
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="ForbiddenPrefixError"):
+        enhance_nodes(bad, lookup, forbidden_prefixes=("DOID",)).collect()
+    # the guard only fires on listed prefixes
+    ok = enhance_nodes(bad, lookup, forbidden_prefixes=("HP",)).collect()
+    assert ok[0]["id"] == "DOID:9"
+
+
 def test_ctime_injected(spark, fixture_dir, tmp_path_factory):
     out = _run(spark, fixture_dir, tmp_path_factory, ctime=1_700_000_000)
     cts = {r["ctime"] for r in out["triples"].collect()}
