@@ -184,6 +184,173 @@ def expand_programs(
     return out
 
 
+def expand_edge_starts(
+    start_reps: DataFrame,
+    pm_rep: DataFrame,
+    path_types: list[str],
+    end_reps: list[str] | None = None,
+    require_complete: bool = False,
+) -> DataFrame:
+    """Dimension-level program expansion: one row per (hop edge, start rep)
+    for every edge lying on a program path from an OBSERVED start entity.
+
+    Key insight (the SF=1 profiling finding): per-doc frontier walks
+    materialize doc×edge events (26.8M rows at SF=1) only to collapse them
+    back to 791 edges — but reachability through the predicate map does not
+    depend on the document at all. publications(edge) factorizes as
+    ∪_{start reaching edge} docs(start), so expansion needs only this
+    entity×edge table (predicate-map-bounded, corpus-independent) and the
+    per-start doc sets. start_reps: (rep) — start entities observed in ≥1
+    document.
+    """
+    prune = require_complete or end_reps is not None
+    alive = _alive_sets(pm_rep, path_types, end_reps) if prune else None
+
+    frontier = start_reps.select(F.col("rep"), F.col("rep").alias("start")).distinct()
+    if alive is not None and alive[0] is not None:
+        frontier = frontier.join(F.broadcast(alive[0]), "rep")
+    hops = []
+    for h, (src_t, dst_t) in enumerate(zip(path_types, path_types[1:])):
+        edges = pm_rep.filter(
+            (F.col("src_type") == src_t) & (F.col("dst_type") == dst_t)
+        ).select("subj_rep", "obj_rep", "pred", "op_name", "orig_pred_id", "orig_pred_label")
+        if alive is not None and alive[h + 1] is not None:
+            edges = edges.join(
+                F.broadcast(alive[h + 1].select(F.col("rep").alias("obj_rep"))),
+                "obj_rep",
+            )
+        hop = frontier.join(F.broadcast(edges), frontier["rep"] == edges["subj_rep"])
+        hops.append(
+            hop.select(
+                F.col("subj_rep").alias("subj"),
+                "pred",
+                F.col("obj_rep").alias("obj"),
+                F.col("op_name").alias("edge_source"),
+                "orig_pred_id",
+                "orig_pred_label",
+                "start",
+            )
+        )
+        frontier = hop.select(F.col("obj_rep").alias("rep"), "start").distinct()
+    out = hops[0]
+    for hp in hops[1:]:
+        out = out.unionByName(hp)
+    return out
+
+
+def aggregate_program_triples(
+    doc_entities: DataFrame,
+    pm_rep: DataFrame,
+    programs: list[list[str]],
+    end_reps: list[str] | None = None,
+    require_complete: bool = False,
+    publication_cap: int = 10_000,
+    ctime: int = 0,
+) -> DataFrame:
+    """Factored expansion+aggregation — produces EXACTLY the rows of
+    aggregate_triples(expand_programs(...), origin_map(...)) (the e2e golden
+    gates prove equality) with the doc×edge event stream eliminated:
+
+    1. per-start doc sets: ONE bounded top-k window over the start-typed
+       (rep, doc) rows — the only corpus-scale aggregation in the build;
+    2. per-start origin sets: entity-bounded groupBy;
+    3. (edge, start) table: dimension-level frontier joins (predicate-map-
+       bounded, corpus-independent);
+    4. per-edge merge: explode the per-start capped arrays and re-cap —
+       valid because the k smallest of a union are contained in the union
+       of each member's k smallest; volume ≤ edges × in-degree × cap, a
+       constant w.r.t. corpus size.
+
+    At 10^12 docs only step 1 scales with the corpus (a narrow distinct +
+    window); the round-1/round-2 event-stream design shuffled O(docs ×
+    mentions × edges) rows instead (26.8M at SF=1, memory-bound at ~100µs
+    of JVM time per row — measured via event-log task metrics).
+    """
+    from .topk import capped_sorted_set
+
+    if not programs:
+        raise ValueError("no programs to execute (path unreachable in metagraph?)")
+    start_types = sorted({prog[0] for prog in programs})
+
+    sd = (
+        doc_entities.filter(F.col("node_type").isin(start_types))
+        .select("node_type", "rep", "doc_id", "orig")
+    )
+    start_pubs = capped_sorted_set(
+        sd.select("rep", F.concat(F.lit("DOC:"), F.col("doc_id")).alias("pub")),
+        ["rep"],
+        "pub",
+        publication_cap,
+        out="pubs",
+    )
+    start_origins = sd.groupBy("rep").agg(
+        F.array_sort(F.collect_set("orig")).alias("origs")
+    )
+    start_type_reps = sd.select("node_type", "rep").distinct()
+
+    edge_starts = None
+    for prog in programs:
+        sr = start_type_reps.filter(F.col("node_type") == prog[0]).select("rep")
+        es = expand_edge_starts(sr, pm_rep, prog, end_reps, require_complete)
+        edge_starts = es if edge_starts is None else edge_starts.unionByName(es)
+    key = ["subj", "pred", "obj", "edge_source"]
+    edge_starts = edge_starts.distinct()
+
+    # per-edge publications: merge the member start arrays and re-cap —
+    # array-at-a-time (flatten/dedup/sort/slice on whole arrays), never an
+    # explode: re-windowing the exploded elements measured 55s/1240 CPU-s/
+    # 25% GC at SF=1 for work these vector expressions do in ~2s. Two salted
+    # phases bound the merge buffer at (in_degree/nsalt)×cap and nsalt×cap
+    # arrays respectively.
+    nsalt = 16
+    merge = lambda c: F.slice(  # noqa: E731
+        F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))),
+        1,
+        publication_cap,
+    )
+    ep = start_pubs.join(
+        F.broadcast(edge_starts.select(*key, F.col("start").alias("rep"))), "rep"
+    ).withColumn("_salt", F.pmod(F.xxhash64("rep"), F.lit(nsalt)).cast("int"))
+    pubs = (
+        ep.groupBy(*key, "_salt")
+        .agg(merge("pubs").alias("_part"))
+        .groupBy(*key)
+        .agg(merge("_part").alias("publications"))
+    )
+    inputs = (
+        start_origins.join(
+            F.broadcast(
+                edge_starts.select(
+                    *key, "orig_pred_id", "orig_pred_label", F.col("start").alias("rep")
+                )
+            ),
+            "rep",
+        )
+        .groupBy(*key)
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(F.array_distinct(F.flatten(F.collect_list("origs")))),
+            ).alias("input_identifiers"),
+            F.min("orig_pred_id").alias("original_predicate_id"),
+            F.min("orig_pred_label").alias("original_predicate_label"),
+        )
+    )
+    return pubs.join(inputs, key).select(
+        *key,
+        "publications",
+        "input_identifiers",
+        F.lit(ctime).cast("long").alias("ctime"),
+        F.concat(F.lit("op://"), F.col("edge_source"), F.lit("/"), F.col("subj")).alias(
+            "url"
+        ),
+        F.substring_index("pred", ":", -1).alias("standard_label"),
+        "original_predicate_id",
+        "original_predicate_label",
+        F.create_map().cast("map<string,string>").alias("properties"),
+    )
+
+
 def origin_map(doc_entities: DataFrame) -> DataFrame:
     """rep → sorted distinct pre-canonicalization mention CURIEs, corpus-
     wide. Entity-bounded (dimension-sized) regardless of corpus size."""
@@ -216,6 +383,15 @@ def aggregate_triples(
     from .topk import capped_sorted_set
 
     key = ["subj", "pred", "obj", "edge_source"]
+    # Two branches over the raw event stream, each reducing to its OWN
+    # minimal column set with a map-side-combined hash-distinct before any
+    # wide exchange (the event stream is doc-scale — 26.8M rows at SF=1 —
+    # and both distincts collapse it inside the scan stage's codegen; the
+    # join pass runs twice map-side, which is embarrassingly parallel and
+    # beats materializing the events or shuffling them with unpruned
+    # columns). The publications window then sorts only deduped (key, doc)
+    # rows — never the raw stream (tests/test_plan_quality.py asserts the
+    # distinct sits below the window).
     pubs = capped_sorted_set(
         raw.select(*key, F.concat(F.lit("DOC:"), F.col("doc_id")).alias("pub")),
         key,

@@ -78,6 +78,7 @@ def shared_pmid_support(
         "pmid",
         publication_cap,
         out="publications",
+        skip_dedup=True,  # tp is distinct → (subj,obj,pmid) already unique
     ).withColumn(
         "properties",
         F.create_map(

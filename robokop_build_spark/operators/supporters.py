@@ -87,6 +87,7 @@ class ChemotextSupporter:
             "pmid",
             publication_cap,
             out="publications",
+            skip_dedup=True,  # node_pmids is distinct → pair rows unique
         ).withColumn(
             "properties",
             F.create_map(

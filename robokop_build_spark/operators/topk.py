@@ -22,24 +22,34 @@ def capped_sorted_set(
     cap: int,
     nsalt: int = 16,
     out: str | None = None,
+    skip_dedup: bool = False,
 ) -> DataFrame:
     """Per group of `keys`: the `cap` smallest distinct values of `val_col`,
     as one sorted array column (deterministic — equivalent to
     sorted(set(vals))[:cap]).
 
+    Stage 0 (unless skip_dedup) collapses duplicate (keys, val) rows with a
+    hash-distinct — its map-side partial combine is what keeps the window
+    from sorting the raw event stream (measured at SF=1: 26.8M events →
+    ~5M distinct rows BEFORE any wide exchange). Pass skip_dedup=True when
+    the input is already (nearly) distinct: dense_rank + collect_set still
+    dedup correctness-wise, the flag only skips the extra shuffle.
+
     Phase 1 salts the group key by hash(val): a hub group's rows spread
     across nsalt partitions, each keeping its own cap smallest distinct
-    values (dense_rank so duplicates don't consume rank slots). Phase 2
-    aggregates ≤ nsalt×cap distinct values per group — bounded regardless of
-    corpus size — and slices the global smallest cap. One doc-scale window
-    shuffle + one edge-bounded hash agg; no unbounded aggregation buffer
-    anywhere.
+    values (dense_rank so duplicates don't consume rank slots); the sort is
+    streaming, never an in-memory set of the whole group. Phase 2
+    aggregates ≤ nsalt×cap distinct values per group — bounded regardless
+    of corpus size — and slices the global smallest cap.
     """
     out = out or val_col + "s"
+    d = df.select(*keys, val_col)
+    if not skip_dedup:
+        d = d.distinct()
     salt = F.pmod(F.xxhash64(F.col(val_col)), F.lit(nsalt)).cast("int")
     w1 = Window.partitionBy(*keys, "_salt").orderBy(val_col)
     phase1 = (
-        df.withColumn("_salt", salt)
+        d.withColumn("_salt", salt)
         .withColumn("_rk", F.dense_rank().over(w1))
         .filter(F.col("_rk") <= cap)
         .drop("_salt", "_rk")

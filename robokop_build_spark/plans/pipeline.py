@@ -17,10 +17,8 @@ from pyspark.sql import functions as F
 
 from ..operators.canonicalize import canonical_map, resolve_aliases
 from ..operators.expand import (
-    aggregate_triples,
+    aggregate_program_triples,
     canonicalize_predicate_map,
-    expand_programs,
-    origin_map,
 )
 from ..operators.extract import detect_mentions, explode_spans
 from ..operators.materialize import (
@@ -180,12 +178,12 @@ class KGPipeline:
 
         def _triples_base() -> DataFrame:
             pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
-            raw = expand_programs(
-                doc_entities, pm_rep, programs, end_reps, cfg.require_complete
-            )
-            return aggregate_triples(
-                raw,
-                origin_map(doc_entities),
+            return aggregate_program_triples(
+                doc_entities,
+                pm_rep,
+                programs,
+                end_reps,
+                cfg.require_complete,
                 publication_cap=cfg.publication_cap,
                 ctime=cfg.ctime,
             )

@@ -39,6 +39,58 @@ def incremental_mentions(
     return detect_mentions(explode_spans(stream_docs), lexicon, entity_embeddings)
 
 
+def windowed_mention_rates(
+    mentions_stream: DataFrame,
+    event_time_col: str = "event_time",
+    window_duration: str = "10 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Late-data-tolerant ingest telemetry: mentions per (window, node_type)
+    with a watermark bounding state — the standard Structured Streaming
+    windowed-aggregation pattern (state for windows older than the watermark
+    is dropped, so state size is bounded regardless of stream lifetime).
+
+    The batch pipeline's stage_metrics rows are the at-rest equivalent; this
+    is the in-flight view a continuously-ingesting deployment monitors.
+    """
+    from pyspark.sql import functions as F
+
+    return (
+        mentions_stream.withWatermark(event_time_col, watermark)
+        .groupBy(F.window(event_time_col, window_duration), "node_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.approx_count_distinct("doc_id").alias("n_docs_est"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "node_type",
+            "n_mentions",
+            "n_docs_est",
+        )
+    )
+
+
+def dedup_stream_exact(
+    stream_docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    event_time_col: str = "event_time",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival of each content hash,
+    drop replays within the watermark horizon. dropDuplicatesWithinWatermark
+    keeps per-key state only until the watermark passes — bounded state, the
+    streaming twin of operators/dedup.exact_duplicates."""
+    from pyspark.sql import functions as F
+
+    hashed = stream_docs.withColumn("content_hash", F.md5(F.col(text_col)))
+    return hashed.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+        ["content_hash"]
+    )
+
+
 def run_available_now(
     mentions_stream: DataFrame, out_dir: str, checkpoint_dir: str
 ) -> None:

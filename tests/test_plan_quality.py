@@ -90,6 +90,33 @@ def test_salted_join_spreads_hot_keys(spark):
     assert salts >= 6  # hot key actually spread across buckets
 
 
+def test_publications_window_sorts_only_deduped_rows(spark):
+    """The capped-top-k window must sit ABOVE a hash-distinct of (key, pub),
+    never directly over the raw event stream — the distinct's map-side
+    partial combine is what keeps 26.8M events (SF=1) from hitting the
+    window's sort exchange un-collapsed."""
+    from robokop_build_spark.operators.expand import aggregate_triples
+
+    raw = spark.createDataFrame(
+        [
+            ("s", "p", "o", "op", "RO:1", "lbl", f"d{i}", "s")
+            for i in range(10)
+        ],
+        [
+            "subj", "pred", "obj", "edge_source",
+            "orig_pred_id", "orig_pred_label", "doc_id", "start",
+        ],
+    )
+    origins = spark.createDataFrame([("s", ["s"])], ["rep", "origs"])
+    plan = _plan(aggregate_triples(raw, origins))
+    win = plan.index("Window ")
+    below_window = plan[win:]
+    # a (partial-combined) distinct on the pub column feeds the window
+    agg = below_window.find("HashAggregate(keys=[")
+    assert agg != -1
+    assert "pub" in below_window[agg : below_window.index("\n", agg)]
+
+
 def test_mentions_single_python_exchange(spark, fixture_dir):
     """Doc-side data crosses the Python boundary exactly once."""
     from robokop_build_spark.operators.extract import detect_mentions, explode_spans

@@ -56,3 +56,82 @@ def test_incremental_exactly_once(spark, fixture_dir, tmp_path):
     stream3 = incremental_mentions(read_document_stream(spark, in_dir), lex, emb)
     run_available_now(stream3, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == n2
+
+
+def test_windowed_mention_rates_matches_batch(spark, tmp_path):
+    """Watermarked windowed agg (update mode): streamed per-window counts
+    equal the batch groupBy over the same events."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from robokop_build_spark.streaming.incremental import windowed_mention_rates
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        (f"d{i}", "disease" if i % 2 else "gene", base + dt.timedelta(minutes=7 * i))
+        for i in range(40)
+    ]
+    batch_df = spark.createDataFrame(rows, ["doc_id", "node_type", "event_time"])
+    src = str(tmp_path / "events_in")
+    batch_df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    q = (
+        windowed_mention_rates(stream)
+        .writeStream.format("memory")
+        .queryName("rates")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["node_type"]): r["n_mentions"]
+        for r in spark.sql("SELECT * FROM rates").collect()
+    }
+    want = {
+        (r["window"]["start"], r["node_type"]): r["n"]
+        for r in batch_df.groupBy(
+            F.window("event_time", "10 minutes"), "node_type"
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("window", "node_type", "n")
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_dedup_stream_drops_replays(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: replayed content within the horizon is
+    dropped across drains; bounded state."""
+    import datetime as dt
+
+    from robokop_build_spark.streaming.incremental import dedup_stream_exact
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    src = str(tmp_path / "dd_in")
+    out = str(tmp_path / "dd_out")
+    ckpt = str(tmp_path / "dd_ckpt")
+    schema_rows = [
+        ("a", "same text", base),
+        ("b", "same text", base + dt.timedelta(minutes=1)),  # replay
+        ("c", "other text", base + dt.timedelta(minutes=2)),
+    ]
+    df = spark.createDataFrame(schema_rows, ["doc_id", "text", "event_time"])
+    df.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        dedup_stream_exact(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    kept = spark.read.parquet(out)
+    hashes = [r["content_hash"] for r in kept.collect()]
+    assert len(hashes) == 2 and len(set(hashes)) == 2  # one per distinct text
