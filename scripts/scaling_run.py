@@ -39,8 +39,11 @@ fx = f"/tmp/robokop_fixtures/sf{{sf}}"
 workbase = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
 work = f"{{workbase}}/robokop_scaling_work/c{{cores}}"
 shutil.rmtree(work, ignore_errors=True)
+# 4x cores: the heavy reduce stages (doc-scale distinct + parquet encode)
+# need multiple waves per core for balance; at exactly `cores` partitions a
+# single straggler partition owns the wall (measured: 209 CPU-s on 8 tasks)
 spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(cores, 8))
+                  shuffle_partitions=max(cores * 4, 16))
 spark.sparkContext.setLogLevel("ERROR")
 t0 = time.time()
 out = run_pipeline(spark, fx, work)
