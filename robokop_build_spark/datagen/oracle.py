@@ -72,7 +72,10 @@ def build_canonical_map(norm_rows) -> dict[str, str]:
 def _edge_dict(
     subj, pred, obj, source, pubs, inputs, oid, olabel, ctime, properties
 ):
-    """Full reference edge schema (export_edge, builder/builder.py:31-41)."""
+    """Full reference edge schema (export_edge, builder/builder.py:31-41).
+    properties always carries reversed=False: every edge added through
+    add_nonsynonymous_edge sets it (builder/builder.py:217)."""
+    properties = {"reversed": "False", **properties}
     return dict(
         subj=subj,
         pred=pred,
@@ -157,6 +160,7 @@ def _extract_and_link(fixture_dir: str):
 def compute_golden(
     fixture_dir: str,
     programs: list[list[str]] | None = None,
+    start_values: list[str] | None = None,
     end_values: list[str] | None = None,
     require_complete: bool = False,
     with_support: bool = True,
@@ -190,6 +194,9 @@ def compute_golden(
 
     if programs is None:
         programs = [["disease", "gene", "genetic_condition"]]
+    start_reps = (
+        {rep_map.get(v, v) for v in start_values} if start_values else None
+    )
     end_reps = (
         sorted({rep_map.get(v, v) for v in end_values}) if end_values else None
     )
@@ -235,6 +242,8 @@ def compute_golden(
                 if ntype == prog[0]:
                     origins[rep].add(orig)
             for start, inputs in origins.items():
+                if start_reps is not None and start not in start_reps:
+                    continue  # seed-bound query (reference --start)
                 if alive is not None and alive[0] is not None and start not in alive[0]:
                     continue
                 frontier = {start}
@@ -318,9 +327,11 @@ def _oracle_omnicorp(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctim
             if shared:
                 pubs = sorted(shared)[:cap]
                 out.append(
+                    # input_id='{a},{b}' + the verbatim 'co-occurence'
+                    # misspelling, as in builder/omnicorp.py:27-29
                     _edge_dict(
-                        a, SUPPORT_PRED, b, SUPPORT_SOURCE, pubs, "",
-                        "omnicorp:1", "literature_co-occurrence", ctime,
+                        a, SUPPORT_PRED, b, SUPPORT_SOURCE, pubs, f"{a},{b}",
+                        "omnicorp:1", "literature_co-occurence", ctime,
                         {"num_publications": str(len(pubs))},
                     )
                 )
@@ -351,7 +362,7 @@ def _oracle_chemotext(fixture_dir, graph_nodes, rep_map, members, meta, cap, cti
                 out.append(
                     _edge_dict(
                         a, "biolink:literature_co-occurrence", b,
-                        "chemotext.term_to_term", pubs, "",
+                        "chemotext.term_to_term", pubs, f"{a},{b}",
                         "chemotext:1", "literature_co-occurence", ctime,
                         {"num_publications": str(len(pubs))},
                     )

@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 1
+ORACLE_FIXTURE_VERSION = 2
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)

@@ -246,6 +246,7 @@ def aggregate_program_triples(
     require_complete: bool = False,
     publication_cap: int = 10_000,
     ctime: int = 0,
+    start_reps: list[str] | None = None,
 ) -> DataFrame:
     """Factored expansion+aggregation — produces EXACTLY the rows of
     aggregate_triples(expand_programs(...), origin_map(...)) (the e2e golden
@@ -276,6 +277,13 @@ def aggregate_program_triples(
         doc_entities.filter(F.col("node_type").isin(start_types))
         .select("node_type", "rep", "doc_id", "orig")
     )
+    if start_reps is not None:
+        # seed-bound query (reference --start, builder/builder.py:512-517):
+        # only observed start entities matching the canonicalized seeds
+        # anchor paths; a literal IN filter — seed lists are user-typed small
+        if not start_reps:
+            raise ValueError("start_reps must be non-empty when given")
+        sd = sd.filter(F.col("rep").isin(sorted(set(start_reps))))
     start_pubs = capped_sorted_set(
         sd.select("rep", F.concat(F.lit("DOC:"), F.col("doc_id")).alias("pub")),
         ["rep"],
@@ -347,7 +355,10 @@ def aggregate_program_triples(
         F.substring_index("pred", ":", -1).alias("standard_label"),
         "original_predicate_id",
         "original_predicate_label",
-        F.create_map().cast("map<string,string>").alias("properties"),
+        # every edge added through add_nonsynonymous_edge carries
+        # properties['reversed']=False (builder/builder.py:217; the True
+        # branch is dead code — it hard-exits at :202-204)
+        F.create_map(F.lit("reversed"), F.lit("False")).alias("properties"),
     )
 
 
@@ -430,5 +441,8 @@ def aggregate_triples(
         F.substring_index("pred", ":", -1).alias("standard_label"),
         "original_predicate_id",
         "original_predicate_label",
-        F.create_map().cast("map<string,string>").alias("properties"),
+        # every edge added through add_nonsynonymous_edge carries
+        # properties['reversed']=False (builder/builder.py:217; the True
+        # branch is dead code — it hard-exits at :202-204)
+        F.create_map(F.lit("reversed"), F.lit("False")).alias("properties"),
     )

@@ -45,8 +45,14 @@ def validate_triples(triples: DataFrame, eager: bool = False) -> DataFrame:
         F.lit(" obj="),
         F.coalesce(F.col("obj"), F.lit("NULL")),
     )
-    guarded = F.when(bad, F.raise_error(msg)).otherwise(F.col("pred"))
-    return triples.withColumn("pred", guarded)
+    # the guard rides on ALL THREE key columns: a consumer plan that prunes
+    # any one of them (column pruning) still evaluates the raise_error branch
+    # through the others — dropping the check would require pruning the
+    # entire key, at which point no keyed output exists to mis-write
+    out = triples
+    for c in ("pred", "subj", "obj"):
+        out = out.withColumn(c, F.when(bad, F.raise_error(msg)).otherwise(F.col(c)))
+    return out
 
 
 def build_nodes(triples: DataFrame, rep_map: DataFrame) -> DataFrame:

@@ -24,22 +24,36 @@ def finalize_support_edges(
     orig_pred_id: str,
     orig_pred_label: str,
     ctime: int = 0,
+    pair_input_id: bool = False,
 ) -> DataFrame:
     """Project supporter rows (subj, obj, publications, properties) onto the
-    full reference edge schema (export_edge, builder/builder.py:31-41)."""
+    full reference edge schema (export_edge, builder/builder.py:31-41).
+
+    pair_input_id: supporters whose KEdge carries the node-pair input_id
+    ('{a},{b}' — omnicorp builder/omnicorp.py:27-29, chemotext
+    builder/chemotext.py:62-64) set True; cdw/chemotext2 use the legacy
+    KEdge constructor without an input_id (builder/cdw.py:68,
+    builder/chemotext2.py:66) and keep ''. Every edge added through
+    add_nonsynonymous_edge carries properties['reversed']=False
+    (builder/builder.py:217) — injected here for all supporter edges."""
+    inputs = (
+        F.concat_ws(",", "subj", "obj") if pair_input_id else F.lit("")
+    )
     return df.select(
         "subj",
         F.lit(pred).alias("pred"),
         "obj",
         F.lit(source).alias("edge_source"),
         "publications",
-        F.lit("").alias("input_identifiers"),
+        inputs.alias("input_identifiers"),
         F.lit(ctime).cast("long").alias("ctime"),
         F.concat(F.lit("op://"), F.lit(source), F.lit("/"), F.col("subj")).alias("url"),
         F.lit(pred.split(":")[1]).alias("standard_label"),
         F.lit(orig_pred_id).alias("original_predicate_id"),
         F.lit(orig_pred_label).alias("original_predicate_label"),
-        "properties",
+        F.map_concat(
+            F.create_map(F.lit("reversed"), F.lit("False")), "properties"
+        ).alias("properties"),
     )
 
 
@@ -85,8 +99,11 @@ def shared_pmid_support(
             F.lit("num_publications"), F.size("publications").cast("string")
         ),
     )
+    # original predicate label preserves the reference KEdge value VERBATIM,
+    # including the 'co-occurence' misspelling (builder/omnicorp.py:27-29)
     return finalize_support_edges(
-        agg, SUPPORT_PRED, SUPPORT_SOURCE, "omnicorp:1", "literature_co-occurrence", ctime
+        agg, SUPPORT_PRED, SUPPORT_SOURCE, "omnicorp:1", "literature_co-occurence",
+        ctime, pair_input_id=True,
     )
 
 

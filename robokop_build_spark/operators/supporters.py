@@ -95,7 +95,8 @@ class ChemotextSupporter:
             ),
         )
         # original predicate preserves the reference's KEdge values verbatim
-        # (chemotext.py:62-64, including the 'co-occurence' spelling)
+        # (chemotext.py:62-64, including the 'co-occurence' spelling and the
+        # '{a},{b}' input_id)
         return finalize_support_edges(
             agg,
             "biolink:literature_co-occurrence",
@@ -103,6 +104,7 @@ class ChemotextSupporter:
             "chemotext:1",
             "literature_co-occurence",
             ctime,
+            pair_input_id=True,
         )
 
 

@@ -874,8 +874,12 @@ QUERIES = {
 # the non-SQL-expressible queries; see datagen/oracle_fixtures.py)
 # --------------------------------------------------------------------------
 
-DRIVER_SF = 0.01  # the scale the external driver runs correctness at
-DRIVER_SF_DIR = "/root/testdata/sf0.01"
+# the scale the external driver runs correctness at (driver contract:
+# "runs YOUR Spark query AND your oracle SQL side-by-side at sf=0.01");
+# env-overridable so a driver evaluating at a different sf_dir can point the
+# fixture-backed oracles at the right scale instead of silently hash-failing
+DRIVER_SF_DIR = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+DRIVER_SF = _sf_of(DRIVER_SF_DIR)
 
 _KG_ORACLE_COLS = (
     "subj, pred, obj, edge_source, input_identifiers, ctime, url, "
@@ -887,8 +891,16 @@ _KG_ORACLE_COLS = (
 def fixture_backed_oracles() -> dict[str, str]:
     """SQL twins that read generated oracle artifacts. Generation is
     marker-guarded and version-keyed; safe to call repeatedly."""
+    import sys
+
     from ..datagen.oracle_fixtures import ensure_oracle_fixtures
 
+    print(
+        f"[oracle] fixture-backed oracles generated for sf={DRIVER_SF} "
+        f"({DRIVER_SF_DIR}); set SPARK_GRAFT_ORACLE_SF_DIR if the driver "
+        "compares at a different scale",
+        file=sys.stderr,
+    )
     d = ensure_oracle_fixtures(DRIVER_SF, DRIVER_SF_DIR)
     oracles = {
         name: f"SELECT {_KG_ORACLE_COLS} FROM read_parquet('{d}/golden_{name}.parquet')"

@@ -42,6 +42,10 @@ class PipelineConfig:
     # path DSL (e.g. "D(1-2)GX"); overrides path_types — compiled into every
     # concrete program through the metagraph (reference compile_query)
     path: str | None = None
+    # seed values: restrict path starts to these CURIEs (the reference's
+    # --start seed, builder/builder.py:512-517 — lookup_identifier output
+    # feeds generate_query's start_identifiers); canonicalized via the rep map
+    start_values: list[str] | None = None
     # terminal values: run as an end-bound two-sided query
     # (builder/userquery.py:104-113); CURIEs, canonicalized via the rep map
     end_values: list[str] | None = None
@@ -79,13 +83,29 @@ class PipelineConfig:
         sups = sorted(self.supporters) if self.with_support else []
         if (
             programs == [DGX_PATH]
+            and not self.start_values
             and not self.end_values
             and not self.require_complete
             and sups == ["omnicorp"]
+            # parameters that change stage OUTPUT must be part of the stage
+            # identity, or a rerun in the same workdir silently resumes
+            # checkpoints computed under the old parameters
+            and self.publication_cap == 10_000
+            and self.ctime == 0
+            and not self.forbidden_id_prefixes
         ):
             return ""
         sig = json.dumps(
-            [programs, sorted(self.end_values or []), self.require_complete, sups]
+            [
+                programs,
+                sorted(self.start_values or []),
+                sorted(self.end_values or []),
+                self.require_complete,
+                sups,
+                self.publication_cap,
+                self.ctime,
+                sorted(self.forbidden_id_prefixes),
+            ]
         )
         return "@" + hashlib.md5(sig.encode()).hexdigest()[:8]
 
@@ -165,16 +185,18 @@ class KGPipeline:
             programs = [cfg.path_types]
         qk = cfg.query_key(programs)
 
-        end_reps: list[str] | None = None
-        if cfg.end_values:
-            # canonicalize terminal CURIEs (tiny driver-side lookup)
+        def _canonize(values: list[str]) -> list[str]:
+            # canonicalize seed/terminal CURIEs (tiny driver-side lookup)
             hits = {
                 r["curie"]: r["rep"]
-                for r in rep_map.filter(F.col("curie").isin(cfg.end_values))
+                for r in rep_map.filter(F.col("curie").isin(values))
                 .select("curie", "rep")
                 .collect()
             }
-            end_reps = sorted({hits.get(v, v) for v in cfg.end_values})
+            return sorted({hits.get(v, v) for v in values})
+
+        start_reps = _canonize(cfg.start_values) if cfg.start_values else None
+        end_reps = _canonize(cfg.end_values) if cfg.end_values else None
 
         def _triples_base() -> DataFrame:
             pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
@@ -186,6 +208,7 @@ class KGPipeline:
                 cfg.require_complete,
                 publication_cap=cfg.publication_cap,
                 ctime=cfg.ctime,
+                start_reps=start_reps,
             )
 
         # two commit points: the support stage derives graph_nodes from the

@@ -201,6 +201,32 @@ def test_require_complete_prunes_dead_ends(spark, fixture_dir, tmp_path_factory)
     assert got < emit_all  # pruning is observable on the fixture
 
 
+def test_start_bound_exact_and_restricted(spark, fixture_dir, tmp_path_factory):
+    """Seed-bound query (reference --start, builder/builder.py:512-517):
+    only paths anchored at the canonicalized seed CURIE are emitted."""
+    start = ["MONDO:7000000"]  # hub disease
+    out = _run(
+        spark,
+        fixture_dir,
+        tmp_path_factory,
+        path_types=["disease", "gene"],
+        start_values=start,
+        with_support=False,
+    )
+    got = {_full_key(r.asDict()) for r in out["triples"].collect()}
+    want = {
+        _full_key(t)
+        for t in _golden(fixture_dir, [["disease", "gene"]], start_values=start)
+    }
+    assert got == want and got
+    # every emitted edge starts at the seed's canonical rep (min-CURIE of
+    # the component — an alias prefix, not the MONDO id itself)
+    assert len({k[0] for k in got}) == 1
+    # unbound run returns strictly more
+    unbound = {_full_key(t) for t in _golden(fixture_dir, [["disease", "gene"]])}
+    assert got < unbound
+
+
 def test_compile_path_rejects_variable_length():
     from robokop_build_spark.plans.query import PathSyntaxError, compile_path
 
