@@ -289,20 +289,37 @@ def compute_golden(
             )
 
     # --- nodes with sorted equivalent_identifiers + enhance-stage labels ---
-    # (builder/builder.py:424-445: authority label > carried name > id)
+    # (builder/builder.py:424-445: authority label > carried name > id),
+    # plus KNode-level mesh_identifiers [{curie,label}] and the open
+    # properties dict (mondo_identifiers fold-in, builder.py:427-430)
     labels = dict(_read_pairs(fixture_dir, "label_lookup", ("curie", "label")))
+    mesh_terms = dict(_read_pairs(fixture_dir, "mesh_terms", ("mesh_curie", "term_name")))
     all_node_ids = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
-    nodes = [
-        dict(
+
+    def _node(r: str) -> dict:
+        ntype = meta.get(r, ("unknown", ""))[0]
+        mem = sorted(members.get(r, [r]))
+        mesh = [
+            {"curie": c, "label": mesh_terms.get(c, "")}
+            for c in mem
+            if c.startswith("MESH:")
+        ]
+        mondos = [c for c in mem if c.startswith("MONDO:")]
+        props: dict[str, str] = {}
+        if mondos and ntype in ("disease", "genetic_condition"):
+            props["mondo_identifiers"] = ",".join(mondos)
+        return dict(
             id=r,
             # "unknown", not "": empty partition values don't survive
             # hive-style partitionBy round-trips (see materialize.build_nodes)
-            node_type=meta.get(r, ("unknown", ""))[0],
+            node_type=ntype,
             name=labels.get(r) or meta.get(r, ("unknown", ""))[1] or r,
-            equivalent_identifiers=sorted(members.get(r, [r])),
+            equivalent_identifiers=mem,
+            mesh_identifiers=mesh,
+            properties=props,
         )
-        for r in all_node_ids
-    ]
+
+    nodes = [_node(r) for r in all_node_ids]
     return nodes, triples
 
 

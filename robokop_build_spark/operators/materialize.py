@@ -55,20 +55,66 @@ def validate_triples(triples: DataFrame, eager: bool = False) -> DataFrame:
     return out
 
 
-def build_nodes(triples: DataFrame, rep_map: DataFrame) -> DataFrame:
+def build_nodes(
+    triples: DataFrame, rep_map: DataFrame, mesh_labels: DataFrame | None = None
+) -> DataFrame:
     """Node table for every id appearing in triples, with sorted
     equivalent_identifiers (builder/builder.py:81-82) = all member CURIEs of
-    the canonical component."""
+    the canonical component, plus the KNode-level extras the reference's
+    prepare_node_for_output consumes (builder/builder.py:427-430):
+
+    - mesh_identifiers: [{curie, label}] for every MESH member of the
+      component; labels resolved from mesh_labels(mesh_curie, term_name)
+      when known, '' otherwise (the reference filters mi['curie'] != '' at
+      fold-in, so empty labels are representable). The synonym fold-in
+      itself (synonyms.update(mesh curies)) is inherent here — MESH members
+      are already in equivalent_identifiers.
+    - properties: open dict; mondo_identifiers (comma-joined MONDO members)
+      for disease/genetic_condition components, mirroring builder.py:428-430.
+    """
     ids = (
         triples.select(F.col("subj").alias("id"))
         .union(triples.select(F.col("obj").alias("id")))
         .distinct()
     )
-    members = rep_map.groupBy("rep").agg(
-        F.array_sort(F.collect_set("curie")).alias("equivalent_identifiers"),
-        F.min("node_type").alias("node_type"),
-        F.min("name").alias("name"),
+    mesh_members = rep_map.filter(F.col("curie").startswith("MESH:")).select(
+        "rep", F.col("curie").alias("mesh_curie")
     )
+    if mesh_labels is not None:
+        mesh_members = mesh_members.join(
+            F.broadcast(mesh_labels.select("mesh_curie", "term_name")),
+            "mesh_curie",
+            "left",
+        )
+    else:
+        mesh_members = mesh_members.withColumn("term_name", F.lit(None).cast("string"))
+    mesh_agg = mesh_members.groupBy("rep").agg(
+        F.array_sort(
+            F.collect_set(
+                F.struct(
+                    F.col("mesh_curie").alias("curie"),
+                    F.coalesce("term_name", F.lit("")).alias("label"),
+                )
+            )
+        ).alias("mesh_identifiers")
+    )
+    mondo_agg = (
+        rep_map.filter(F.col("curie").startswith("MONDO:"))
+        .groupBy("rep")
+        .agg(F.array_sort(F.collect_set("curie")).alias("mondos"))
+    )
+    members = (
+        rep_map.groupBy("rep")
+        .agg(
+            F.array_sort(F.collect_set("curie")).alias("equivalent_identifiers"),
+            F.min("node_type").alias("node_type"),
+            F.min("name").alias("name"),
+        )
+        .join(mesh_agg, "rep", "left")
+        .join(mondo_agg, "rep", "left")
+    )
+    empty_mesh = F.array().cast("array<struct<curie:string,label:string>>")
+    empty_map = F.create_map().cast("map<string,string>")
     return ids.join(
         F.broadcast(members), ids["id"] == members["rep"], "left"
     ).select(
@@ -81,6 +127,16 @@ def build_nodes(triples: DataFrame, rep_map: DataFrame) -> DataFrame:
         F.coalesce("equivalent_identifiers", F.array(F.col("id"))).alias(
             "equivalent_identifiers"
         ),
+        F.coalesce("mesh_identifiers", empty_mesh).alias("mesh_identifiers"),
+        F.when(
+            F.col("node_type").isin("disease", "genetic_condition")
+            & (F.size(F.coalesce("mondos", F.array())) > 0),
+            F.create_map(
+                F.lit("mondo_identifiers"), F.concat_ws(",", "mondos")
+            ),
+        )
+        .otherwise(empty_map)
+        .alias("properties"),
     )
 
 
@@ -128,7 +184,10 @@ def enhance_nodes(
             F.col("id"),  # label = identifier fallback (builder.py:441)
         ),
     ).drop("__auth_label")
-    return named.select("id", "node_type", "name", "equivalent_identifiers")
+    extras = [c for c in ("mesh_identifiers", "properties") if c in named.columns]
+    return named.select(
+        "id", "node_type", "name", "equivalent_identifiers", *extras
+    )
 
 
 def write_triples(triples: DataFrame, path: str) -> None:

@@ -249,7 +249,7 @@ class KGPipeline:
         nodes = ckpt.run_stage(
             f"nodes{qk}",
             lambda: enhance_nodes(
-                build_nodes(triples, rep_map),
+                build_nodes(triples, rep_map, mesh_labels=t.get("mesh_terms")),
                 t["label_lookup"],
                 forbidden_prefixes=cfg.forbidden_id_prefixes,
             ),

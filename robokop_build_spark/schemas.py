@@ -135,13 +135,29 @@ MENTIONS = StructType(
 )
 
 # Materialized node table (reference analog: export_node fields,
-# builder/builder.py:76-96).
+# builder/builder.py:76-96, plus the KNode-level mesh_identifiers list and
+# open properties dict consumed by prepare_node_for_output,
+# builder/builder.py:427-430 — carried so downstream consumers see what the
+# reference's node objects carry, even though export_node itself writes only
+# the first four).
 NODES = StructType(
     [
         StructField("id", StringType()),
         StructField("node_type", StringType()),
         StructField("name", StringType()),
         StructField("equivalent_identifiers", ArrayType(StringType())),
+        StructField(
+            "mesh_identifiers",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("curie", StringType()),
+                        StructField("label", StringType()),
+                    ]
+                )
+            ),
+        ),
+        StructField("properties", MapType(StringType(), StringType())),
     ]
 )
 

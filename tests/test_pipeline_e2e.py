@@ -52,14 +52,32 @@ def test_triples_exact_including_provenance(pipeline_out, golden):
 def test_nodes_match_golden(pipeline_out, golden):
     out, _ = pipeline_out
     got = {
-        (r["id"], r["node_type"], r["name"], tuple(r["equivalent_identifiers"]))
+        (
+            r["id"],
+            r["node_type"],
+            r["name"],
+            tuple(r["equivalent_identifiers"]),
+            tuple((m["curie"], m["label"]) for m in r["mesh_identifiers"]),
+            tuple(sorted((r["properties"] or {}).items())),
+        )
         for r in out["nodes"].collect()
     }
     want = {
-        (n["id"], n["node_type"], n["name"], tuple(n["equivalent_identifiers"]))
+        (
+            n["id"],
+            n["node_type"],
+            n["name"],
+            tuple(n["equivalent_identifiers"]),
+            tuple((m["curie"], m["label"]) for m in n["mesh_identifiers"]),
+            tuple(sorted(n["properties"].items())),
+        )
         for n in golden["nodes"]
     }
     assert got == want
+    # the fixture must exercise both extras: some node carries a labeled
+    # MESH identifier, some disease carries mondo_identifiers
+    assert any(k[4] and any(lbl for _, lbl in k[4]) for k in want)
+    assert any(k[5] for k in want)
 
 
 def test_triples_partitioned_by_pred(pipeline_out):
