@@ -167,6 +167,7 @@ def compute_golden(
     supporters: tuple[str, ...] = ("omnicorp",),
     publication_cap: int = 10_000,
     ctime: int = 0,
+    support_pair_mode: str = "all",
 ):
     """Returns (nodes, triples): lists of dicts matching schemas.NODES /
     schemas.TRIPLES for the given programs (default: the flagship DGX
@@ -280,11 +281,54 @@ def compute_golden(
     # --- supporter edges over the expansion graph nodes ---
     if with_support and supporters:
         graph_nodes = sorted({t["subj"] for t in triples} | {t["obj"] for t in triples})
+        allowed_pairs: set[tuple[str, str]] | None = None
+        if support_pair_mode == "paths":
+            # contexts mode (generate_links_from_paths, builder.py:372-407):
+            # forward walk per program accumulating transitive ancestor
+            # sets; pairs canonicalized (min, max). Snapshot semantics per
+            # hop (a node's ancestors as of the previous hop) — the
+            # reference's within-hop update order is dict-iteration-
+            # dependent; both engines here use the deterministic snapshot.
+            allowed_pairs = set()
+            for prog in programs:
+                hop_maps = [pm_rep[(a, b)] for a, b in zip(prog, prog[1:])]
+                alive = alive_sets(hop_maps)
+                current: set[str] = set()
+                for ents in doc_ents.values():
+                    for rep, _orig, ntype in ents:
+                        if ntype == prog[0]:
+                            current.add(rep)
+                if start_reps is not None:
+                    current &= set(start_reps)
+                if alive is not None and alive[0] is not None:
+                    current &= alive[0]
+                ancestors: dict[str, set[str]] = defaultdict(set)
+                for h, hop_map in enumerate(hop_maps):
+                    nxt: set[str] = set()
+                    snapshot = {k: set(v) for k, v in ancestors.items()}
+                    for s in sorted(current):
+                        for o, *_ in hop_map.get(s, ()):
+                            if (
+                                alive is not None
+                                and alive[h + 1] is not None
+                                and o not in alive[h + 1]
+                            ):
+                                continue
+                            ancestors[o].add(s)
+                            ancestors[o] |= snapshot.get(s, set())
+                            nxt.add(o)
+                    current = nxt
+                for k, ancs in ancestors.items():
+                    for a in ancs:
+                        if a != k:
+                            allowed_pairs.add((min(a, k), max(a, k)))
+        elif support_pair_mode != "all":
+            raise ValueError(f"unknown support_pair_mode {support_pair_mode!r}")
         for name in supporters:
             triples.extend(
                 _SUPPORTER_ORACLES[name](
                     fixture_dir, graph_nodes, rep_map, members, meta,
-                    publication_cap, ctime,
+                    publication_cap, ctime, allowed_pairs=allowed_pairs,
                 )
             )
 
@@ -333,13 +377,16 @@ def _read_pairs(fixture_dir: str, name: str, cols: tuple[str, str]):
     return list(zip(t.column(cols[0]).to_pylist(), t.column(cols[1]).to_pylist()))
 
 
-def _oracle_omnicorp(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+def _oracle_omnicorp(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime,
+                     allowed_pairs=None):
     pmids: dict[str, set[str]] = defaultdict(set)
     for curie, pmid in _read_pairs(fixture_dir, "term_pmids", ("curie", "pmid")):
         pmids[rep_map.get(curie, curie)].add(pmid)
     out = []
     for i, a in enumerate(graph_nodes):
         for b in graph_nodes[i + 1 :]:
+            if allowed_pairs is not None and (a, b) not in allowed_pairs:
+                continue  # contexts mode (builder.py:372-407)
             shared = pmids[a] & pmids[b]
             if shared:
                 pubs = sorted(shared)[:cap]
@@ -355,7 +402,8 @@ def _oracle_omnicorp(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctim
     return out
 
 
-def _oracle_chemotext(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+def _oracle_chemotext(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime,
+                      allowed_pairs=None):
     """builder/chemotext.py:8-68: MeSH-synonym shared-article pairs."""
     mesh_terms = dict(_read_pairs(fixture_dir, "mesh_terms", ("mesh_curie", "term_name")))
     term_arts: dict[str, set[str]] = defaultdict(set)
@@ -373,6 +421,8 @@ def _oracle_chemotext(fixture_dir, graph_nodes, rep_map, members, meta, cap, cti
     keyed = sorted(node_arts)
     for i, a in enumerate(keyed):
         for b in keyed[i + 1 :]:
+            if allowed_pairs is not None and (a, b) not in allowed_pairs:
+                continue
             shared = node_arts[a] & node_arts[b]
             if shared:
                 pubs = sorted(shared)[:cap]
@@ -387,7 +437,8 @@ def _oracle_chemotext(fixture_dir, graph_nodes, rep_map, members, meta, cap, cti
     return out
 
 
-def _oracle_cdw(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+def _oracle_cdw(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime,
+                allowed_pairs=None):
     """builder/cdw.py:9-103 with the '<11' sentinel fallback."""
     counts = dict(_read_pairs(fixture_dir, "cdw_counts", ("icd9", "count")))
     t = pq.read_table(f"{fixture_dir}/cdw_paircounts.parquet").to_pylist()
@@ -404,6 +455,8 @@ def _oracle_cdw(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
     keyed = sorted(icd9)
     for i, a in enumerate(keyed):
         for b in keyed[i + 1 :]:
+            if allowed_pairs is not None and (a, b) not in allowed_pairs:
+                continue
             ca, cb = icd9[a], icd9[b]
             if ca not in counts or cb not in counts:  # F7 known-code guard
                 continue
@@ -425,7 +478,8 @@ def _oracle_cdw(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
     return out
 
 
-def _oracle_chemotext2(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime):
+def _oracle_chemotext2(fixture_dir, graph_nodes, rep_map, members, meta, cap, ctime,
+                       allowed_pairs=None):
     """builder/chemotext2.py:9-70: max token-pair label similarity."""
     node_toks: dict[str, list[str]] = {}
     for n in graph_nodes:
@@ -438,6 +492,8 @@ def _oracle_chemotext2(fixture_dir, graph_nodes, rep_map, members, meta, cap, ct
     keyed = sorted(node_toks)
     for i, a in enumerate(keyed):
         for b in keyed[i + 1 :]:
+            if allowed_pairs is not None and (a, b) not in allowed_pairs:
+                continue
             best = max(
                 (round(float(vecs[ta] @ vecs[tb]), 6), ta, tb)
                 for ta in node_toks[a]

@@ -362,6 +362,72 @@ def aggregate_program_triples(
     )
 
 
+def path_constrained_pairs(
+    start_reps: DataFrame,
+    pm_rep: DataFrame,
+    path_types: list[str],
+    end_reps: list[str] | None = None,
+    require_complete: bool = False,
+) -> DataFrame:
+    """Path-constrained support-pair generation — the reference's contexts
+    mode (generate_links_from_paths, builder/builder.py:372-407): a pair
+    (node, ancestor) for every node reachable on a program path and every
+    node preceding it on such a path (transitive, within the program).
+
+    The reference walks the built graph forward, accumulating per-node
+    ancestor sets (`ancestors[other].update(ancestors[node])`,
+    builder.py:396-397). Re-expressed relationally: one (node, anc) table,
+    per hop extended with the direct edges plus the inherited closure —
+    all frames predicate-map-bounded (dimension-sized, corpus-independent).
+
+    Pair orientation is canonicalized to (least, greatest) — the reference's
+    order depends on dict iteration and is not reproducible; supporters
+    normalize to subj<obj anyway. Returns (rep_a, rep_b), rep_a < rep_b.
+    """
+    prune = require_complete or end_reps is not None
+    alive = _alive_sets(pm_rep, path_types, end_reps) if prune else None
+
+    frontier = start_reps.select("rep").distinct()
+    if alive is not None and alive[0] is not None:
+        frontier = frontier.join(F.broadcast(alive[0]), "rep")
+    anc: DataFrame | None = None
+    for h, (src_t, dst_t) in enumerate(zip(path_types, path_types[1:])):
+        edges = pm_rep.filter(
+            (F.col("src_type") == src_t) & (F.col("dst_type") == dst_t)
+        ).select("subj_rep", "obj_rep")
+        if alive is not None and alive[h + 1] is not None:
+            edges = edges.join(
+                F.broadcast(alive[h + 1].select(F.col("rep").alias("obj_rep"))),
+                "obj_rep",
+            )
+        step = (
+            frontier.join(F.broadcast(edges), frontier["rep"] == edges["subj_rep"])
+            .select("subj_rep", "obj_rep")
+            .distinct()
+        )
+        direct = step.select(
+            F.col("obj_rep").alias("node"), F.col("subj_rep").alias("anc")
+        )
+        if anc is None:
+            anc = direct
+        else:
+            inherited = step.join(
+                anc.select(F.col("node").alias("subj_rep"), "anc"), "subj_rep"
+            ).select(F.col("obj_rep").alias("node"), "anc")
+            anc = anc.unionByName(direct).unionByName(inherited).distinct()
+        frontier = step.select(F.col("obj_rep").alias("rep")).distinct()
+    if anc is None:  # single-node path: no hops, no pairs
+        return start_reps.sparkSession.createDataFrame([], "rep_a string, rep_b string")
+    return (
+        anc.filter(F.col("node") != F.col("anc"))
+        .select(
+            F.least("node", "anc").alias("rep_a"),
+            F.greatest("node", "anc").alias("rep_b"),
+        )
+        .distinct()
+    )
+
+
 def origin_map(doc_entities: DataFrame) -> DataFrame:
     """rep → sorted distinct pre-canonicalization mention CURIEs, corpus-
     wide. Entity-bounded (dimension-sized) regardless of corpus size."""

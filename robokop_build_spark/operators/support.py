@@ -57,11 +57,24 @@ def finalize_support_edges(
     )
 
 
+def restrict_pairs(df: DataFrame, pairs: DataFrame | None) -> DataFrame:
+    """Optionally restrict candidate (subj, obj) pair rows to an allowed
+    pair set (contexts mode, builder/builder.py:372-407): a broadcast
+    semi-join — the pair set is walk-derived, dimension-sized."""
+    if pairs is None:
+        return df
+    allowed = pairs.select(
+        F.col("rep_a").alias("subj"), F.col("rep_b").alias("obj")
+    )
+    return df.join(F.broadcast(allowed), ["subj", "obj"], "left_semi")
+
+
 def shared_pmid_support(
     graph_nodes: DataFrame,
     term_pmids_rep: DataFrame,
     publication_cap: int = 10_000,
     ctime: int = 0,
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Omnicorp analog (builder/omnicorp.py:21-33, SURVEY.md §2.3 J6):
     support edge (a, correlated_with, b) for every unordered graph-node pair
@@ -83,10 +96,13 @@ def shared_pmid_support(
         .distinct()
     )
     a, b = tp.alias("a"), tp.alias("b")
-    pairs = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
+    cand = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
     agg = capped_sorted_set(
-        pairs.select(
-            F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"), "pmid"
+        restrict_pairs(
+            cand.select(
+                F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"), "pmid"
+            ),
+            pairs,
         ),
         ["subj", "obj"],
         "pmid",

@@ -20,7 +20,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .support import cdw_pair_lookup, finalize_support_edges, shared_pmid_support
+from .support import (
+    cdw_pair_lookup,
+    finalize_support_edges,
+    restrict_pairs,
+    shared_pmid_support,
+)
 from .topk import capped_sorted_set
 
 
@@ -36,12 +41,14 @@ class OmnicorpSupporter:
         tables,
         publication_cap: int = 10_000,
         ctime: int = 0,
+        pairs: DataFrame | None = None,
     ) -> DataFrame:
         from ..operators.canonicalize import resolve_aliases
 
         tp_rep = resolve_aliases(tables["term_pmids"], rep_map, "curie", out="rep")
         return shared_pmid_support(
-            graph_nodes, tp_rep.select("rep", "pmid"), publication_cap, ctime
+            graph_nodes, tp_rep.select("rep", "pmid"), publication_cap, ctime,
+            pairs=pairs,
         )
 
 
@@ -65,6 +72,7 @@ class ChemotextSupporter:
         tables,
         publication_cap: int = 10_000,
         ctime: int = 0,
+        pairs: DataFrame | None = None,
     ) -> DataFrame:
         mesh = (
             rep_map.filter(F.col("curie").startswith("MESH:"))  # F2 prefix select
@@ -78,10 +86,13 @@ class ChemotextSupporter:
             .distinct()
         )
         a, b = node_pmids.alias("a"), node_pmids.alias("b")
-        pairs = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
+        cand = a.join(b, "pmid").filter(F.col("a.rep") < F.col("b.rep"))
         agg = capped_sorted_set(
-            pairs.select(
-                F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"), "pmid"
+            restrict_pairs(
+                cand.select(
+                    F.col("a.rep").alias("subj"), F.col("b.rep").alias("obj"), "pmid"
+                ),
+                pairs,
             ),
             ["subj", "obj"],
             "pmid",
@@ -123,6 +134,7 @@ class CdwSupporter:
         tables,
         publication_cap: int = 10_000,
         ctime: int = 0,
+        pairs: DataFrame | None = None,
     ) -> DataFrame:
         icd9 = (
             rep_map.filter(F.col("curie").startswith("ICD9CM:"))  # F2 prefix select
@@ -132,9 +144,11 @@ class CdwSupporter:
         )
         a = icd9.select(F.col("rep").alias("rep_a"), F.col("icd9").alias("icd9_a"))
         b = icd9.select(F.col("rep").alias("rep_b"), F.col("icd9").alias("icd9_b"))
-        pairs = a.join(b, F.col("rep_a") < F.col("rep_b"))  # J4 upper triangle
+        cand = a.join(b, F.col("rep_a") < F.col("rep_b"))  # J4 upper triangle
+        if pairs is not None:
+            cand = cand.join(F.broadcast(pairs), ["rep_a", "rep_b"], "left_semi")
         scored = cdw_pair_lookup(
-            pairs.select("rep_a", "rep_b", "icd9_a", "icd9_b"),
+            cand.select("rep_a", "rep_b", "icd9_a", "icd9_b"),
             tables["cdw_counts"],
             tables["cdw_paircounts"],
         )
@@ -205,6 +219,7 @@ class MaxSimSupporter:
         tables,
         publication_cap: int = 10_000,
         ctime: int = 0,
+        pairs: DataFrame | None = None,
     ) -> DataFrame:
         labels = (
             rep_map.select("rep", "name")
@@ -227,6 +242,16 @@ class MaxSimSupporter:
         a = node_toks.select(F.col("rep").alias("subj"), F.col("tvs").alias("ta"))
         b = node_toks.select(F.col("rep").alias("obj"), F.col("tvs").alias("tb"))
         crossed = a.join(b, F.col("subj") < F.col("obj"))  # F9 self-pair filter
+        if pairs is not None:
+            crossed = crossed.join(
+                F.broadcast(
+                    pairs.select(
+                        F.col("rep_a").alias("subj"), F.col("rep_b").alias("obj")
+                    )
+                ),
+                ["subj", "obj"],
+                "left_semi",
+            )
         dot = lambda x, y: F.aggregate(  # noqa: E731
             F.zip_with(x["vec"], y["vec"], lambda p, q: p * q),
             F.lit(0.0),

@@ -61,6 +61,11 @@ class PipelineConfig:
     # supporter modules to run (reference -s flag, builder/builder.py:320-362);
     # with_support=False disables all
     supporters: list[str] = field(default_factory=lambda: ["omnicorp"])
+    # support-pair generator: 'all' = unordered all-pairs over graph nodes
+    # (generate_all_links, builder/builder.py:364-370 — the reference's live
+    # path); 'paths' = path-constrained contexts mode
+    # (generate_links_from_paths, builder/builder.py:372-407)
+    support_pair_mode: str = "all"
     # per-edge provenance cap (reference LIMIT 10000, builder/chemotext.py:53)
     publication_cap: int = 10_000
     # edge ctime (unix epoch) — injected, not now(), so runs are reproducible
@@ -93,6 +98,7 @@ class PipelineConfig:
             and self.publication_cap == 10_000
             and self.ctime == 0
             and not self.forbidden_id_prefixes
+            and self.support_pair_mode == "all"
         ):
             return ""
         sig = json.dumps(
@@ -105,6 +111,7 @@ class PipelineConfig:
                 self.publication_cap,
                 self.ctime,
                 sorted(self.forbidden_id_prefixes),
+                self.support_pair_mode,
             ]
         )
         return "@" + hashlib.md5(sig.encode()).hexdigest()[:8]
@@ -227,6 +234,28 @@ class KGPipeline:
                     .union(triples.select(F.col("obj").alias("id")))
                     .distinct()
                 )
+                pairs = None
+                if cfg.support_pair_mode == "paths":
+                    # contexts mode (builder/builder.py:372-407): restrict
+                    # supporter pairs to (node, ancestor) along program paths
+                    from ..operators.expand import path_constrained_pairs
+
+                    pm_rep = canonicalize_predicate_map(t["predicate_map"], rep_map)
+                    for prog in programs:
+                        sr = doc_entities.filter(
+                            F.col("node_type") == prog[0]
+                        ).select("rep")
+                        if start_reps is not None:
+                            sr = sr.filter(F.col("rep").isin(start_reps))
+                        p = path_constrained_pairs(
+                            sr, pm_rep, prog, end_reps, cfg.require_complete
+                        )
+                        pairs = p if pairs is None else pairs.unionByName(p)
+                    pairs = pairs.distinct()
+                elif cfg.support_pair_mode != "all":
+                    raise ValueError(
+                        f"unknown support_pair_mode {cfg.support_pair_mode!r}"
+                    )
                 for name in sups:
                     triples = triples.unionByName(
                         get_supporter(name).support(
@@ -235,6 +264,7 @@ class KGPipeline:
                             t,
                             publication_cap=cfg.publication_cap,
                             ctime=cfg.ctime,
+                            pairs=pairs,
                         )
                     )
             return validate_triples(triples)

@@ -227,6 +227,33 @@ def test_start_bound_exact_and_restricted(spark, fixture_dir, tmp_path_factory):
     assert got < unbound
 
 
+def test_paths_pair_mode_exact_and_differs_from_all_pairs(
+    spark, fixture_dir, tmp_path_factory
+):
+    """Contexts-mode support pairs (generate_links_from_paths,
+    builder/builder.py:372-407): supporter edges restricted to (node,
+    ancestor) pairs along program paths. Exact-golden in both modes, and
+    the two modes must observably differ on the fixture (path-restricted
+    pairs ⊂ all-pairs)."""
+    from robokop_build_spark.datagen.oracle import compute_golden
+
+    kw = dict(path_types=["disease", "gene", "genetic_condition"])
+    out = _run(
+        spark, fixture_dir, tmp_path_factory, support_pair_mode="paths", **kw
+    )
+    got = {_full_key(r.asDict()) for r in out["triples"].collect()}
+    _, want_t = compute_golden(fixture_dir, support_pair_mode="paths")
+    want = {_full_key(t) for t in want_t}
+    assert got == want and got
+    _, all_t = compute_golden(fixture_dir)  # all-pairs mode
+    all_support = {
+        _full_key(t) for t in all_t if t["edge_source"] == "omnicorp.term_to_term"
+    }
+    paths_support = {k for k in want if k[3] == "omnicorp.term_to_term"}
+    assert paths_support, "paths mode must still produce support edges"
+    assert paths_support < all_support, "modes must observably differ"
+
+
 def test_compile_path_rejects_variable_length():
     from robokop_build_spark.plans.query import PathSyntaxError, compile_path
 
