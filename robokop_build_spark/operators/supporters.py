@@ -81,7 +81,11 @@ class ChemotextSupporter:
         )
         node_pmids = (
             mesh.join(F.broadcast(tables["mesh_terms"]), "mesh_curie")
-            .join(F.broadcast(tables["term_articles"]), "term_name")
+            # term_articles is the (term, pmid) fan-out — corpus-scale at
+            # 100 TB, never hint-broadcast: the SMALL side here is the
+            # graph-restricted mesh/term set, and AQE (or stats) picks the
+            # strategy from actual sizes
+            .join(tables["term_articles"], "term_name")
             .select("rep", "pmid")
             .distinct()
         )

@@ -669,11 +669,14 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+# affine MinHash family g_i = (h1 + i*h2) mod p, one md5 per shingle split
+# into two 32-bit halves — identical arithmetic to operators/dedup.py
 DEDUP_MINHASH_SQL = """
-WITH sig AS (
+WITH hashed AS (
   SELECT doc_id AS id,
-         list_transform(range(0, 16), h ->
-           list_min(list_transform(sh, s -> md5(CAST(h AS VARCHAR) || '|' || s)))) AS sig
+         list_transform(sh, s -> struct_pack(
+             h1 := CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT),
+             h2 := CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT))) AS hs
   FROM (
     SELECT doc_id,
            list_transform(range(1, greatest(len(t)-2, 0)+1),
@@ -682,9 +685,15 @@ WITH sig AS (
   )
   WHERE len(sh) > 0
 ),
+sig AS (
+  SELECT id,
+         list_transform(range(0, 16), i ->
+           list_min(list_transform(hs, h -> (h.h1 + i * h.h2) % 4294967311))) AS sig
+  FROM hashed
+),
 banded AS (
   SELECT id, band,
-         md5(sig[band*2+1] || '|' || sig[band*2+2]) AS bkey
+         md5(CAST(sig[band*2+1] AS VARCHAR) || '|' || CAST(sig[band*2+2] AS VARCHAR)) AS bkey
   FROM sig, (SELECT unnest(range(0, 8)) AS band)
 )
 SELECT DISTINCT x.id AS id_a, y.id AS id_b

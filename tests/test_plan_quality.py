@@ -117,6 +117,26 @@ def test_publications_window_sorts_only_deduped_rows(spark):
     assert "pub" in below_window[agg : below_window.index("\n", agg)]
 
 
+def test_chemotext_articles_join_not_hint_broadcast(spark, fixture_dir):
+    """term_articles (the term→pmid fan-out) is corpus-scale at 100 TB; its
+    join must be strategy-chosen by AQE/stats, never a hard broadcast hint.
+    The logical plan should carry hints only on the genuinely
+    dimension-sized sides (graph_nodes, mesh_terms)."""
+    from robokop_build_spark.operators.canonicalize import canonical_map
+    from robokop_build_spark.operators.supporters import get_supporter
+    from robokop_build_spark.sources.readers import read_fixtures
+
+    tables = read_fixtures(spark, fixture_dir)
+    rep_map = canonical_map(tables["normalization"])
+    nodes = rep_map.select(F.col("rep").alias("id")).distinct()
+    out = get_supporter("chemotext").support(nodes, rep_map, tables)
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    # exactly the two intended hints (graph_nodes, mesh_terms), each
+    # appearing twice because the pmid self-join duplicates the node_pmids
+    # subtree — re-hinting term_articles would make this 6
+    assert analyzed.count("ResolvedHint") == 4, analyzed
+
+
 def test_mentions_single_python_exchange(spark, fixture_dir):
     """Doc-side data crosses the Python boundary exactly once."""
     from robokop_build_spark.operators.extract import detect_mentions, explode_spans
