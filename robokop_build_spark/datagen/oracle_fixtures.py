@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 2
+ORACLE_FIXTURE_VERSION = 3
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)
@@ -120,6 +120,59 @@ def ensure_oracle_fixtures(sf: float, sf_dir: str) -> str:
             [flatten_triple(t) for t in triples],
             _KG_SCHEMA,
         )
+
+    # expected media features, recomputed from the pixel rule WITHOUT going
+    # through BMP/CSV bytes — a genuine codec check: the Spark path must
+    # encode→parse its way back to the same numbers
+    import hashlib
+
+    import numpy as np
+
+    from ..operators.multimodal import media_dims, media_feature, media_pixels
+
+    fx_docs = pq.read_table(os.path.join(fixture_dir, "documents.parquet")).to_pylist()
+    media_rows = []
+    for row in fx_docs:
+        for pos, span in enumerate(row["spans"] or []):
+            if span["kind"] == "image":
+                w, h = media_dims(span["media_ref"])
+                px = np.frombuffer(
+                    media_pixels(span["media_ref"], w, h), dtype=np.uint8
+                )
+                dec = np.concatenate([[w, h], px]).astype(np.float64)
+            elif span["kind"] == "table":
+                d = hashlib.md5(f"{span['media_ref']}:dims".encode()).digest()
+                w, h = 3 + d[0] % 3, 2 + d[1] % 3
+                from ..operators.multimodal import _md5_stream
+
+                vals = np.frombuffer(_md5_stream(f"{span['media_ref']}:px", w * h), np.uint8)
+                dec = np.concatenate([[w, h], vals]).astype(np.float64)
+            else:
+                continue
+            media_rows.append(
+                {
+                    "doc_id": row["doc_id"],
+                    "span_pos": pos,
+                    "media_ref": span["media_ref"],
+                    "width": w,
+                    "height": h,
+                    "f0": float(media_feature(dec)[0]),
+                }
+            )
+    _write(
+        os.path.join(out, "media_features.parquet"),
+        media_rows,
+        pa.schema(
+            [
+                ("doc_id", pa.string()),
+                ("span_pos", pa.int64()),
+                ("media_ref", pa.string()),
+                ("width", pa.int64()),
+                ("height", pa.int64()),
+                ("f0", pa.float64()),
+            ]
+        ),
+    )
 
     # simhash signatures of the DRIVER documents table (scalar reference)
     docs = pq.read_table(

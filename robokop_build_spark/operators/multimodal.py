@@ -1,16 +1,22 @@
-"""Multimodal column plumbing: image/audio/video as opaque binary columns
+"""Multimodal column plumbing: image/table media as opaque binary columns
 with typed metadata, processed via Arrow-batched mapInPandas.
 
-The decode step is STUBBED (no image/audio libraries in this container):
-`decode_media` raises NotImplementedError unless `fake=True`, in which case
-a deterministic md5-derived pseudo-decode stands in. Everything Spark-side —
-schema, partitioning, UDF signature, Arrow batch shape — is real and tested,
-so swapping in PIL/ffmpeg later touches exactly one function.
+Round-3 upgrade: the decode step is REAL for two stdlib-decodable formats —
+uncompressed 24-bit BMP (struct-parsed: file header, BITMAPINFOHEADER,
+bottom-up padded pixel rows) and CSV tables (parsed ints). Payloads are
+built deterministically from media_ref (the object-storage read stand-in),
+so the whole encode→binary→decode→feature path executes genuinely and is
+oracle-checked: the golden twin recomputes features straight from the pixel
+rule WITHOUT going through bytes, so a padding/header/row-order bug on
+either side of the codec breaks the hash compare. Formats without a stdlib
+codec (PNG/JPEG/audio) still raise NotImplementedError — swapping in
+PIL/ffmpeg touches exactly decode_media.
 """
 
 from __future__ import annotations
 
 import hashlib
+import struct
 from typing import Iterator
 
 import numpy as np
@@ -23,62 +29,170 @@ MEDIA_SCHEMA = (
     "payload binary, width int, height int"
 )
 FEATURE_DIM = 32
-FEATURE_SCHEMA = f"doc_id string, span_pos int, media_ref string, feature array<float>"
+FEATURE_SCHEMA = (
+    "doc_id string, span_pos int, media_ref string, width int, height int, "
+    "feature array<float>"
+)
 
 
-def attach_media_payloads(spans: DataFrame) -> DataFrame:
-    """Media spans (kind image/table) → rows with an opaque binary payload +
-    typed metadata. In production the payload is read from object storage by
-    ref; here it is derived deterministically from the ref (same schema,
-    same batch shape)."""
-    media = spans.filter(F.col("kind").isin("image", "table"))
-    return media.select(
-        "doc_id",
-        "span_pos",
-        "media_ref",
-        F.when(F.col("kind") == "image", F.lit("image/png"))
-        .otherwise(F.lit("application/table"))
-        .alias("media_type"),
-        F.to_binary(F.md5("media_ref"), F.lit("hex")).alias("payload"),
-        (F.pmod(F.xxhash64("media_ref"), F.lit(1920)) + F.lit(16)).cast("int").alias("width"),
-        (F.pmod(F.xxhash64("media_ref", "doc_id"), F.lit(1080)) + F.lit(16))
-        .cast("int")
-        .alias("height"),
+def _md5_stream(seed: str, n: int) -> bytes:
+    """n deterministic bytes from chained md5 blocks of the seed."""
+    out = bytearray()
+    block = seed.encode()
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def media_dims(media_ref: str) -> tuple[int, int]:
+    """Deterministic small (width, height) for a media ref."""
+    d = hashlib.md5(f"{media_ref}:dims".encode()).digest()
+    return 4 + d[0] % 5, 3 + d[1] % 4  # w ∈ 4..8, h ∈ 3..6
+
+
+def media_pixels(media_ref: str, w: int, h: int) -> bytes:
+    """Deterministic BGR pixel bytes (w*h*3), row-major top-down — the
+    ground-truth rule shared with the oracle (like matching.py: sharing the
+    *rule* makes the check cover the codec, not the rng)."""
+    return _md5_stream(f"{media_ref}:px", w * h * 3)
+
+
+def build_bmp(media_ref: str) -> bytes:
+    """Uncompressed 24-bit BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER + bottom-up pixel rows padded to 4 bytes."""
+    w, h = media_dims(media_ref)
+    px = media_pixels(media_ref, w, h)
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    body = bytearray()
+    for row in range(h - 1, -1, -1):  # BMP stores rows bottom-up
+        body += px[row * row_bytes : (row + 1) * row_bytes]
+        body += b"\x00" * pad
+    pixel_offset = 14 + 40
+    size = pixel_offset + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_offset)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + info + bytes(body)
+
+
+def build_csv(media_ref: str) -> bytes:
+    """Deterministic integer CSV table for 'table' media spans."""
+    d = hashlib.md5(f"{media_ref}:dims".encode()).digest()
+    ncols, nrows = 3 + d[0] % 3, 2 + d[1] % 3
+    vals = _md5_stream(f"{media_ref}:px", ncols * nrows)
+    lines = [
+        ",".join(str(vals[r * ncols + c]) for c in range(ncols))
+        for r in range(nrows)
+    ]
+    return ("\n".join(lines) + "\n").encode()
+
+
+def decode_media(payload: bytes, media_type: str) -> np.ndarray:
+    """REAL decode for the two stdlib-decodable formats.
+
+    image/bmp → [width, height, *pixel bytes] (top-down BGR, padding
+    stripped, bottom-up rows re-ordered); text/csv → [ncols, nrows, *ints].
+    Anything else (PNG/JPEG/audio) needs a codec library not present in this
+    container and raises."""
+    if media_type == "image/bmp":
+        magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
+        if magic != b"BM":
+            raise ValueError("not a BMP payload")
+        hdr_size, w, h, _planes, bpp = struct.unpack_from("<IiiHH", payload, 14)
+        if bpp != 24 or hdr_size < 40:
+            raise NotImplementedError(f"only 24-bit BMP supported, got bpp={bpp}")
+        row_bytes = w * 3
+        stride = row_bytes + ((-row_bytes) % 4)
+        rows = []
+        for row in range(abs(h)):
+            start = offset + row * stride
+            rows.append(np.frombuffer(payload, np.uint8, row_bytes, start))
+        if h > 0:  # positive height = bottom-up storage
+            rows.reverse()
+        px = np.concatenate(rows) if rows else np.empty(0, np.uint8)
+        return np.concatenate([[w, abs(h)], px]).astype(np.float64)
+    if media_type == "text/csv":
+        lines = [ln for ln in bytes(payload).decode().split("\n") if ln]
+        vals = [int(v) for ln in lines for v in ln.split(",")]
+        ncols = len(lines[0].split(",")) if lines else 0
+        return np.asarray([ncols, len(lines)] + vals, dtype=np.float64)
+    raise NotImplementedError(
+        f"decode for {media_type!r} requires a codec library not present "
+        "in this environment (PIL/ffmpeg); plumb it in here"
     )
 
 
-def decode_media(payload: bytes, media_type: str, fake: bool = False) -> np.ndarray:
-    """STUB: real decode needs PIL/ffmpeg (not in this container).
-
-    fake=True returns a deterministic pseudo-decode so the distributed
-    plumbing is testable end-to-end."""
-    if not fake:
-        raise NotImplementedError(
-            "media decode requires an image/audio library not present in "
-            "this environment; pass fake=True for the deterministic stand-in"
-        )
-    h = hashlib.md5(payload).digest()
-    return np.frombuffer(h * 8, dtype=np.uint8).astype(np.float32)
+def media_feature(decoded: np.ndarray) -> np.ndarray:
+    """FEATURE_DIM-wide L2-normalized float32 vector from a decoded array —
+    the deterministic stand-in for an embedding model."""
+    vec = decoded[:FEATURE_DIM].astype(np.float32)
+    if len(vec) < FEATURE_DIM:
+        vec = np.pad(vec, (0, FEATURE_DIM - len(vec)))
+    n = np.float32(np.linalg.norm(vec)) or np.float32(1.0)
+    return vec / n
 
 
-def extract_media_features(media: DataFrame, fake: bool = True) -> DataFrame:
-    """Arrow-batched feature extraction over binary payloads: the real
-    pattern for image embedding / frame sampling at scale (decode swaps in
-    for the stub; batching, schema and partitioning are unchanged)."""
+def attach_media_payloads(spans: DataFrame) -> DataFrame:
+    """Media spans (kind image/table) → rows with a REAL binary payload +
+    typed metadata. In production the payload is read from object storage by
+    ref; here it is built deterministically from the ref (same schema, same
+    Arrow batch shape) — image spans get genuine BMP bytes, table spans
+    genuine CSV bytes."""
+    media = spans.filter(F.col("kind").isin("image", "table")).select(
+        "doc_id", "span_pos", "kind", "media_ref"
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = []
-            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
-                raw = decode_media(bytes(payload), mt, fake=fake)
-                vec = raw[:FEATURE_DIM].astype(np.float32)
-                n = float(np.linalg.norm(vec)) or 1.0
-                feats.append((vec / n).tolist())
+            payloads, mtypes, ws, hs = [], [], [], []
+            for kind, ref in zip(pdf["kind"], pdf["media_ref"]):
+                if kind == "image":
+                    payloads.append(build_bmp(ref))
+                    mtypes.append("image/bmp")
+                    w, h = media_dims(ref)
+                else:
+                    payloads.append(build_csv(ref))
+                    mtypes.append("text/csv")
+                    d = hashlib.md5(f"{ref}:dims".encode()).digest()
+                    w, h = 3 + d[0] % 3, 2 + d[1] % 3
+                ws.append(w)
+                hs.append(h)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"],
                     "span_pos": pdf["span_pos"],
                     "media_ref": pdf["media_ref"],
+                    "media_type": mtypes,
+                    "payload": payloads,
+                    "width": ws,
+                    "height": hs,
+                }
+            )
+
+    return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def extract_media_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads: the real
+    pattern for image embedding at scale — decode + featurize per batch,
+    one Python exchange, schema/partitioning format-agnostic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats, ws, hs = [], [], []
+            for payload, mt in zip(pdf["payload"], pdf["media_type"]):
+                dec = decode_media(bytes(payload), mt)
+                ws.append(int(dec[0]))
+                hs.append(int(dec[1]))
+                feats.append(media_feature(dec).tolist())
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "span_pos": pdf["span_pos"],
+                    "media_ref": pdf["media_ref"],
+                    "width": ws,
+                    "height": hs,
                     "feature": feats,
                 }
             )

@@ -86,11 +86,16 @@ def _kg_query(spark: SparkSession, sf_dir: str, **pipeline_kwargs) -> DataFrame:
     rep_map / doc_entities) are shared with kg_end_to_end via the common
     version-keyed workdir, only expansion stages recompute."""
     from ..datagen.fixtures import FIXTURE_VERSION
+    from ..datagen.oracle_fixtures import ORACLE_FIXTURE_VERSION
     from .pipeline import run_pipeline
 
     sf = _sf_of(sf_dir)
     fx = _fixture_dir_for(sf_dir)
-    work = f"/tmp/robokop_work/sf{sf}_v{FIXTURE_VERSION}"
+    # keyed by BOTH the fixture-generator version and the output-semantics
+    # version (ORACLE_FIXTURE_VERSION bumps whenever triple/node output
+    # changes): checkpoints written by an older engine must never be
+    # resumed against a newer golden
+    work = f"/tmp/robokop_work/sf{sf}_v{FIXTURE_VERSION}_o{ORACLE_FIXTURE_VERSION}"
     out = run_pipeline(spark, fx, work, **pipeline_kwargs)
     return _kg_select(out["triples"])
 
@@ -140,15 +145,25 @@ def kg_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing over the interleaved corpus media spans (binary
-    payload → Arrow-batched feature extraction, stub decode)."""
+    """Multimodal pipeline over the interleaved corpus media spans: REAL
+    binary payloads (BMP images / CSV tables built from the media ref) →
+    Arrow-batched genuine decode (struct-parsed BMP headers + padded
+    bottom-up rows) → feature extraction. Oracled: the golden twin
+    recomputes features straight from the pixel rule WITHOUT bytes, so any
+    codec bug (padding, row order, header offsets) breaks the hash."""
     from ..operators.extract import explode_spans
     from ..operators.multimodal import attach_media_payloads, extract_media_features
 
     spans = explode_spans(_t(spark, _fixture_dir_for(sf_dir), "documents"))
-    feats = extract_media_features(attach_media_payloads(spans), fake=True)
+    feats = extract_media_features(attach_media_payloads(spans))
     return feats.select(
-        "doc_id", "span_pos", "media_ref", F.round(F.element_at("feature", 1), 6).alias("f0")
+        "doc_id",
+        F.col("span_pos").cast("long").alias("span_pos"),
+        "media_ref",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        # exact float32→double widening on both sides — no rounding needed
+        F.element_at("feature", 1).cast("double").alias("f0"),
     )
 
 
@@ -915,6 +930,10 @@ def fixture_backed_oracles() -> dict[str, str]:
         name: f"SELECT {_KG_ORACLE_COLS} FROM read_parquet('{d}/golden_{name}.parquet')"
         for name in ("kg_end_to_end", "kg_var_length", "kg_multi_program", "kg_end_bound")
     }
+    oracles["multimodal_media_features"] = (
+        "SELECT doc_id, span_pos, media_ref, width, height, f0 "
+        f"FROM read_parquet('{d}/media_features.parquet')"
+    )
     # banded Hamming-distance join over the reference-implementation
     # signatures (4×16-bit pigeonhole chunks, distance ≤ 2)
     oracles["dedup_simhash"] = f"""

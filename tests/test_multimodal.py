@@ -1,18 +1,51 @@
+import hashlib
+
+import numpy as np
 import pytest
 
 from robokop_build_spark.operators.extract import explode_spans
 from robokop_build_spark.operators.multimodal import (
+    FEATURE_DIM,
     attach_media_payloads,
+    build_bmp,
+    build_csv,
     decode_media,
     extract_media_features,
-    FEATURE_DIM,
+    media_dims,
+    media_pixels,
 )
 from robokop_build_spark.sources.readers import read_fixture
 
 
-def test_decode_stub_raises_without_fake():
+def test_decode_raises_for_codec_less_formats():
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x01", "image/png")
+    with pytest.raises(NotImplementedError):
+        decode_media(b"\x00\x01", "audio/mpeg")
+
+
+def test_bmp_roundtrip_recovers_pixels_exactly():
+    """The BMP codec is REAL: decode(header+padded bottom-up rows) must
+    recover the exact top-down pixel bytes the builder started from."""
+    ref = "media://roundtrip"
+    w, h = media_dims(ref)
+    px = media_pixels(ref, w, h)
+    dec = decode_media(build_bmp(ref), "image/bmp")
+    assert (int(dec[0]), int(dec[1])) == (w, h)
+    assert bytes(dec[2:].astype(np.uint8)) == px
+
+
+def test_bmp_rejects_garbage():
+    with pytest.raises(ValueError):
+        decode_media(b"XX" + b"\x00" * 60, "image/bmp")
+
+
+def test_csv_roundtrip():
+    ref = "media://csvcheck"
+    dec = decode_media(build_csv(ref), "text/csv")
+    d = hashlib.md5(f"{ref}:dims".encode()).digest()
+    assert (int(dec[0]), int(dec[1])) == (3 + d[0] % 3, 2 + d[1] % 3)
+    assert all(0 <= v <= 255 for v in dec[2:])
 
 
 def test_media_plumbing_end_to_end(spark, fixture_dir):
@@ -21,10 +54,12 @@ def test_media_plumbing_end_to_end(spark, fixture_dir):
     rows = media.limit(5).collect()
     assert rows, "fixtures must contain media spans"
     for r in rows:
-        assert r["media_type"] in ("image/png", "application/table")
-        assert isinstance(r["payload"], (bytes, bytearray)) and len(r["payload"]) == 16
-        assert r["width"] >= 16 and r["height"] >= 16
-    feats = extract_media_features(media.limit(50), fake=True).collect()
+        assert r["media_type"] in ("image/bmp", "text/csv")
+        assert isinstance(r["payload"], (bytes, bytearray))
+        if r["media_type"] == "image/bmp":
+            assert bytes(r["payload"][:2]) == b"BM"
+        assert r["width"] >= 3 and r["height"] >= 2
+    feats = extract_media_features(media.limit(50)).collect()
     assert len(feats) == min(50, media.count())
     for f in feats:
         assert len(f["feature"]) == FEATURE_DIM
@@ -36,10 +71,10 @@ def test_media_features_deterministic(spark, fixture_dir):
     media = attach_media_payloads(spans).limit(20)
     a = {
         (r["doc_id"], r["span_pos"]): tuple(r["feature"])
-        for r in extract_media_features(media, fake=True).collect()
+        for r in extract_media_features(media).collect()
     }
     b = {
         (r["doc_id"], r["span_pos"]): tuple(r["feature"])
-        for r in extract_media_features(media.repartition(4), fake=True).collect()
+        for r in extract_media_features(media.repartition(4)).collect()
     }
     assert a == b
