@@ -31,13 +31,26 @@ class Candidate(NamedTuple):
 class Trie:
     """Surface→candidates map with a first-token index: the detect scan
     does one set probe per token and only builds n-gram join strings when
-    the token can start a surface (most corpus tokens cannot)."""
+    the token can start a surface (most corpus tokens cannot).
+    start_maxlen caps the greedy probe depth per first token (a 1-word
+    surface never pays the 3- and 2-gram join attempts)."""
 
-    __slots__ = ("surfaces", "starts")
+    __slots__ = ("surfaces", "starts", "start_maxlen", "multi_surfaces")
 
     def __init__(self, surfaces: dict[str, list[Candidate]]):
         self.surfaces = surfaces
         self.starts = {s.split(" ", 1)[0] for s in surfaces}
+        self.start_maxlen: dict[str, int] = {}
+        # multi-word surfaces as token tuples, for the batch scan's
+        # code-tuple probes (no gram strings ever built)
+        self.multi_surfaces: list[tuple[tuple[str, ...], list[Candidate]]] = []
+        for s, cands in surfaces.items():
+            toks = s.split(" ")
+            first = toks[0]
+            if len(toks) > self.start_maxlen.get(first, 0):
+                self.start_maxlen[first] = len(toks)
+            if len(toks) > 1:
+                self.multi_surfaces.append((tuple(toks), cands))
 
     def get(self, gram: str):
         return self.surfaces.get(gram)
@@ -101,6 +114,293 @@ def detect(text: str, trie: Trie) -> list[Mention]:
         if not matched:
             i += 1
     return mentions
+
+
+class _BatchScan:
+    """Shared state of one vectorized scan over a batch of texts: flat
+    (batch-wide) token arrays plus the detected mentions in emit order.
+
+    Vectorization levers (why this beats the per-token scalar scan ~3×):
+    - tokens are hash-factorized once per batch (pd.factorize, C): every
+      per-token string op (lower, length, start-probe, md5 bucket) runs
+      once per UNIQUE token — the corpus vocabulary is Zipf-tiny — and
+      broadcasts back through the int code array;
+    - Python touches only surface-START positions (the scan's inner loop
+      is >90% misses in a natural corpus), with numpy arrays pre-subset to
+      those positions and converted to Python lists (list indexing is ~5×
+      numpy scalar indexing inside a hot loop);
+    - the greedy probe depth is capped by trie.start_maxlen[first token],
+      so 1-word surfaces never pay the 3- and 2-gram join attempts.
+    """
+
+    SEP = "\x1e"  # record separator between rows in the single flat split
+
+    __slots__ = (
+        "texts", "flat", "codes", "counts", "row_first",
+        "uniq_lower",
+        "m_row", "m_start", "m_surface", "m_cands",
+    )
+
+    def __init__(self, texts, trie: Trie):
+        import pandas as pd
+
+        texts = [t or "" for t in texts]  # None-safe, like scalar detect
+        self.texts = texts
+        self.m_row: list[int] = []
+        self.m_start: list[int] = []
+        self.m_surface: list[str] = []
+        self.m_cands: list[tuple] = []
+        if not texts:
+            self.flat = []
+            self.codes = np.empty(0, np.int64)
+            self.counts = np.empty(0, np.int64)
+            self.row_first = np.empty(0, np.int64)
+            self.uniq_lower = np.empty(0, object)
+            return
+        # ONE C-level split for the whole batch; separator tokens mark row
+        # boundaries (an empty text contributes one phantom '' token, which
+        # is never a surface and never carries a mention — harmless)
+        flat = f" {self.SEP} ".join(texts).split(" ") if len(texts) > 1 else (
+            texts[0].split(" ") if texts[0] else [""]
+        )
+        self.flat = flat
+        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        self.codes = codes
+        uniq = pd.Series(uniques, dtype=object)
+        uniq_lower_s = uniq.str.lower()
+        self.uniq_lower = uniq_lower_s.to_numpy()
+        sep_code = -1
+        for i, u in enumerate(uniques):
+            if u == self.SEP:
+                sep_code = i
+                break
+        sep_pos = (
+            np.flatnonzero(codes == sep_code)
+            if sep_code >= 0
+            else np.empty(0, np.int64)
+        )
+        if len(sep_pos) != len(texts) - 1:
+            # a text contained a bare separator token (pathological):
+            # correctness via the scalar scan
+            self._init_scalar(texts, trie)
+            return
+        total = len(flat)
+        self.row_first = np.concatenate(([0], sep_pos + 1))
+        row_end_a = np.append(sep_pos, total)
+        self.counts = row_end_a - self.row_first
+
+        # second factorize into CASE-FOLDED code space: case variants of a
+        # token must share one code or the code-tuple probes below miss
+        u2l, l_uniques = pd.factorize(self.uniq_lower, sort=False)
+        lcodes = u2l[codes]
+        uniq_list = l_uniques.tolist()
+
+        # per-lowercase-unique precomputation: start flag, probe-depth cap,
+        # and the 1-gram candidate list. A start token whose longest surface
+        # is one word IS a surface — its match needs zero dict probes.
+        uniq_is_start = pd.Series(l_uniques).isin(trie.starts).to_numpy()
+        if sep_code >= 0:
+            uniq_is_start[u2l[sep_code]] = False
+        start_pos = np.flatnonzero(uniq_is_start[lcodes])
+        if len(start_pos) == 0:
+            return
+        surfaces = trie.surfaces
+        maxlen_l = [trie.start_maxlen.get(u, 0) for u in uniq_list]
+        # pre-tupled so the emit path never re-tuples per mention
+        cands1_l = [
+            tuple(c) if (c := surfaces.get(u)) is not None else None
+            for u in uniq_list
+        ]
+        # multi-word surfaces compiled to CODE TUPLES for this batch's
+        # vocabulary: probes are integer-tuple dict gets — no gram strings
+        assert MAX_NGRAM == 3
+        tok2code = {t: i for i, t in enumerate(uniq_list)}
+        surf2: dict[tuple, tuple] = {}
+        surf3: dict[tuple, tuple] = {}
+        for toks, cands in trie.multi_surfaces:
+            cs = tuple(tok2code.get(t, -1) for t in toks)
+            if -1 not in cs:
+                (surf2 if len(cs) == 2 else surf3)[cs] = tuple(cands)
+
+        # char offset of each token within its row (cumsum of len+1 rebased
+        # per row) — materialized only at start positions
+        lens_plus = (uniq.str.len().to_numpy(np.int64) + 1)[codes]
+        gcum = np.concatenate(([0], np.cumsum(lens_plus)[:-1]))
+        sp_rows = np.searchsorted(sep_pos, start_pos)
+        off_s = (gcum[start_pos] - gcum[self.row_first[sp_rows]]).tolist()
+        end_s = row_end_a[sp_rows].tolist()
+        row_s = sp_rows.tolist()
+        sp = start_pos.tolist()
+        codes_l = lcodes.tolist()
+
+        m_row, m_start = self.m_row, self.m_start
+        m_surface, m_cands = self.m_surface, self.m_cands
+        cur_row = -1
+        nxt = 0  # first unconsumed flat position within the current row
+        for j in range(len(sp)):
+            f = sp[j]
+            r = row_s[j]
+            if r != cur_row:
+                cur_row = r
+                nxt = f
+            elif f < nxt:
+                continue  # consumed by an earlier (longer) match
+            code = codes_l[f]
+            ml = maxlen_l[code]
+            if ml == 1:
+                # guaranteed single-token match: the only surface starting
+                # with this token is the token itself
+                m_row.append(r)
+                m_start.append(off_s[j])
+                m_surface.append(flat[f])
+                m_cands.append(cands1_l[code])
+                nxt = f + 1
+                continue
+            avail = end_s[j] - f
+            cands = None
+            k = 1
+            if ml >= 3 and avail >= 3:
+                cands = surf3.get((code, codes_l[f + 1], codes_l[f + 2]))
+                k = 3
+            if cands is None and avail >= 2:
+                cands = surf2.get((code, codes_l[f + 1]))
+                k = 2
+            if cands is None:
+                cands = cands1_l[code]
+                k = 1
+            if cands is not None:
+                m_row.append(r)
+                m_start.append(off_s[j])
+                m_surface.append(
+                    flat[f] if k == 1 else " ".join(flat[f : f + k])
+                )
+                m_cands.append(cands)
+                nxt = f + k
+
+    def _init_scalar(self, texts, trie: Trie) -> None:
+        """Fallback: scalar scan per row (identical semantics by
+        construction), still exposing the flat-array interface."""
+        import pandas as pd
+
+        tok_lists = [t.split(" ") if t else [] for t in texts]
+        self.counts = np.fromiter(
+            (len(ts) for ts in tok_lists), np.int64, len(tok_lists)
+        )
+        flat = [t for ts in tok_lists for t in ts]
+        self.flat = flat
+        if flat:
+            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+            self.codes = codes
+            self.uniq_lower = pd.Series(uniques, dtype=object).str.lower().to_numpy()
+        else:
+            self.codes = np.empty(0, np.int64)
+            self.uniq_lower = np.empty(0, object)
+        row_end = np.cumsum(self.counts)
+        self.row_first = np.concatenate(([0], row_end[:-1]))
+        for r, text in enumerate(texts):
+            for m in detect(text, trie):
+                self.m_row.append(r)
+                self.m_start.append(m.start)
+                self.m_surface.append(m.surface)
+                self.m_cands.append(m.candidates)
+
+    def context_vectors(self, rows: list[int], dim: int = EMBED_DIM) -> np.ndarray:
+        """featurize(texts[r]) for the requested rows, batch-vectorized:
+        md5 buckets once per unique token, one np.add.at scatter for all
+        rows. Bit-identical to the scalar featurize — the accumulated
+        values are ±1 (exact in float64, order-independent), and the norm/
+        division are the same numpy ops."""
+        sel = np.asarray(rows, np.int64)
+        lengths = self.counts[sel]
+        starts = self.row_first[sel]
+        total = int(lengths.sum())
+        mat = np.zeros((len(sel), dim), np.float64)
+        if total:
+            out_row = np.repeat(np.arange(len(sel)), lengths)
+            base = np.repeat(starts, lengths)
+            within = np.arange(total) - np.repeat(
+                np.concatenate(([0], np.cumsum(lengths)[:-1])), lengths
+            )
+            tok_codes = self.codes[base + within]
+            buckets = np.empty(len(self.uniq_lower), np.int64)
+            signs = np.empty(len(self.uniq_lower), np.float64)
+            valid_u = np.empty(len(self.uniq_lower), bool)
+            for i, tok in enumerate(self.uniq_lower):
+                if tok:
+                    buckets[i], signs[i] = _stable_bucket(tok, dim)
+                    valid_u[i] = True
+                else:
+                    buckets[i], signs[i], valid_u[i] = 0, 0.0, False
+            ok = valid_u[tok_codes]
+            np.add.at(
+                mat, (out_row[ok], buckets[tok_codes[ok]]), signs[tok_codes[ok]]
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        nz = norms > 0
+        mat[nz] /= norms[nz][:, None]
+        return mat
+
+
+def detect_batch(texts, trie: Trie) -> list[list[Mention]]:
+    """Batch-vectorized detect(): produces EXACTLY detect(t, trie) per text
+    (the parity test iterates the whole fixture corpus)."""
+    scan = _BatchScan(texts, trie)
+    out: list[list[Mention]] = [[] for _ in texts]
+    for r, start, surface, cands in zip(
+        scan.m_row, scan.m_start, scan.m_surface, scan.m_cands
+    ):
+        out[r].append(Mention(start, surface, cands))
+    return out
+
+
+def mention_frame(doc_ids, span_poss, span_offsets, texts, trie, emb_map):
+    """The full mention-UDF body, batch-vectorized end to end: detect →
+    link → column assembly. Returns a dict of equal-length columns
+    (doc_id, span_pos, span_offset, mention_start, surface, curie,
+    node_type, score) in the exact emit order — and the exact values — of
+    the scalar detect() + link_mentions() loop (parity-tested)."""
+    scan = _BatchScan(texts, trie)
+    n_m = len(scan.m_row)
+    m_row = np.asarray(scan.m_row, np.int64) if n_m else np.empty(0, np.int64)
+
+    # linking: unambiguous mentions resolve directly (score 0.0, the common
+    # case); ambiguous ones rerank against ONE per-row context vector
+    curies: list[str] = [""] * n_m
+    ntypes: list[str] = [""] * n_m
+    scores = np.zeros(n_m, np.float64)
+    amb: list[int] = []
+    for i, c in enumerate(scan.m_cands):
+        if len(c) == 1:
+            c0 = c[0]
+            curies[i] = c0.curie
+            ntypes[i] = c0.node_type
+        else:
+            amb.append(i)
+    if amb:
+        amb_rows = sorted({int(m_row[i]) for i in amb})
+        ctx = scan.context_vectors(amb_rows)
+        row_ctx = {r: ctx[j] for j, r in enumerate(amb_rows)}
+        for i in amb:
+            cand, score = pick_candidate(
+                scan.m_cands[i], row_ctx[int(m_row[i])], emb_map
+            )
+            curies[i] = cand.curie
+            ntypes[i] = cand.node_type
+            scores[i] = score
+
+    doc_np = np.asarray(doc_ids, dtype=object)
+    pos_np = np.asarray(span_poss)
+    off_np = np.asarray(span_offsets)
+    return {
+        "doc_id": doc_np[m_row],
+        "span_pos": pos_np[m_row],
+        "span_offset": off_np[m_row],
+        "mention_start": np.asarray(scan.m_start, np.int64),
+        "surface": scan.m_surface,
+        "curie": curies,
+        "node_type": ntypes,
+        "score": scores,
+    }
 
 
 @lru_cache(maxsize=1 << 20)

@@ -11,6 +11,55 @@ from robokop_build_spark.operators.extract import (
 from robokop_build_spark.sources.readers import read_fixture
 
 
+def test_detect_batch_bit_identical_to_scalar(fixture_dir):
+    """detect_batch (the Spark UDF's vectorized scan) must produce EXACTLY
+    detect() per text — over every span of the fixture corpus plus
+    adversarial edge cases (overlap consumption, row boundaries, empty and
+    whitespace-only tokens, case variants)."""
+    import pyarrow.parquet as pq
+
+    from robokop_build_spark.operators.matching import (
+        build_trie,
+        detect,
+        detect_batch,
+    )
+
+    lex = pq.read_table(f"{fixture_dir}/lexicon.parquet")
+    trie = build_trie(
+        list(
+            zip(
+                lex.column("surface").to_pylist(),
+                lex.column("curie").to_pylist(),
+                lex.column("node_type").to_pylist(),
+            )
+        )
+    )
+    docs = pq.read_table(f"{fixture_dir}/documents.parquet").to_pylist()
+    texts = [
+        s["text"]
+        for row in docs
+        for s in (row["spans"] or [])
+        if s["kind"] in ("text", "caption")
+    ]
+    some_surface = sorted(trie.surfaces)[0]
+    multi = sorted(s for s in trie.surfaces if " " in s) or [some_surface]
+    texts += [
+        "",
+        " ",
+        "  ",
+        some_surface,
+        some_surface.upper(),
+        f"{some_surface} {some_surface}",
+        f"x {multi[0]} y",
+        multi[0],  # multi-token surface at row start/end
+        f"{multi[0]} {some_surface}",
+        "zz " * 50,
+    ]
+    want = [detect(t, trie) for t in texts]
+    got = detect_batch(texts, trie)
+    assert got == want
+
+
 def test_span_roundtrip_exact(spark, fixture_dir):
     docs = read_fixture(spark, fixture_dir, "documents")
     back = reassemble_spans(explode_spans(docs))
