@@ -1,22 +1,28 @@
 #!/usr/bin/env python
 """Scaling-efficiency evidence (BASELINE.json north_rule): run the identical
-KG build job at two parallelism levels (local[N] vs local[4N]) on identical
-input, in fresh JVMs, and report throughput at both plus efficiency
-(T_small/T_big)/(4).
+KG build job at two parallelism levels on identical input, in fresh JVMs,
+and report throughput at both plus efficiency (T_small/T_big)/4.
+
+Two modes:
+- threads (default): local[N] vs local[4N] — one JVM, thread scaling.
+- jvms: local-cluster[1,C,M] vs local-cluster[4,C,M] — 1 vs 4 SEPARATE
+  EXECUTOR JVMs (each its own heap, GC, and python workers), the honest
+  single-box proxy for "N → 4N executors on a cluster". The package ships
+  via spark.submit.pyFiles (the north rule's spark-submit --py-files
+  contract), so the executors genuinely import from the zip.
 
 The sandbox host has multi-minute performance waves (identical runs vary
 2-3×), so every Spark run is BRACKETED by a short pure-CPU calibration that
 measures what the hardware can deliver at that moment at both worker counts.
-The summary reports (a) best-of-N wall-clock efficiency, and (b) the
-hardware ceiling measured alongside — on this VM 32 workers deliver ~3.4×
-the aggregate throughput of 8 (SMT/steal), so 0.85 is the physical maximum
-a perfectly-scaling job could show.
 
-Usage: python scripts/scaling_run.py [sf] [repeats] [small] [big]
+Usage:
+  python scripts/scaling_run.py [sf] [repeats] [small] [big]            # threads
+  python scripts/scaling_run.py [sf] [repeats] --mode jvms [--cores C]  # 1v4 JVMs
 """
 
 from __future__ import annotations
 
+import argparse
 import json
 import multiprocessing as mp
 import os
@@ -24,6 +30,7 @@ import shutil
 import subprocess
 import sys
 import time
+import zipfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -33,26 +40,35 @@ sys.path.insert(0, {repo!r})
 from robokop_build_spark.session import get_spark
 from robokop_build_spark.plans.pipeline import run_pipeline
 
-cores = int(sys.argv[1])
-sf = sys.argv[2]
+master = sys.argv[1]
+total_cores = int(sys.argv[2])
+sf = sys.argv[3]
 fx = f"/tmp/robokop_fixtures/sf{{sf}}"
 workbase = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
-work = f"{{workbase}}/robokop_scaling_work/c{{cores}}"
+tag = master.replace("[", "_").replace("]", "").replace(",", "_")
+work = f"{{workbase}}/robokop_scaling_work/{{tag}}"
 shutil.rmtree(work, ignore_errors=True)
+extra = {{}}
+if master.startswith("local-cluster"):
+    # separate executor JVMs: ship the package zip the way a real cluster
+    # launch would (spark-submit --py-files robokop_build_spark.zip)
+    extra["spark.submit.pyFiles"] = os.path.join({repo!r}, "robokop_build_spark.zip")
+    extra["spark.executor.memory"] = os.environ.get("SPARK_GRAFT_EXEC_MEM", "12g")
+    extra["spark.driver.memory"] = "8g"
 # 4x cores: the heavy reduce stages (doc-scale distinct + parquet encode)
 # need multiple waves per core for balance; at exactly `cores` partitions a
 # single straggler partition owns the wall (measured: 209 CPU-s on 8 tasks)
-spark = get_spark(app_name=f"scaling-{{cores}}", master=f"local[{{cores}}]",
-                  shuffle_partitions=max(cores * 4, 16))
+spark = get_spark(app_name=f"scaling-{{tag}}", master=master,
+                  shuffle_partitions=max(total_cores * 4, 16), extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
-# warm the JVM (whole-stage-codegen compilation of the ~25 distinct plans,
+# warm the JVMs (whole-stage-codegen compilation of the ~25 distinct plans,
 # ~13s measured) on a trivial corpus first: a cluster job amortizes codegen
 # over hours, so timing it against a 1-5 minute sandbox run would bias the
 # efficiency ratio identically at both levels without measuring anything
 # about the design
 warm_fx = "/tmp/robokop_fixtures/sf0.001"
 if os.path.exists(os.path.join(warm_fx, "_FIXTURES_DONE")):
-    warm_work = f"{{workbase}}/robokop_scaling_warm/c{{cores}}"
+    warm_work = f"{{workbase}}/robokop_scaling_warm/{{tag}}"
     shutil.rmtree(warm_work, ignore_errors=True)
     run_pipeline(spark, warm_fx, warm_work)["triples"].count()
     shutil.rmtree(warm_work, ignore_errors=True)
@@ -67,7 +83,7 @@ for d in sorted(os.listdir(work)):
     if os.path.exists(m):
         stages[d] = json.load(open(m))["wall_sec"]
 shutil.rmtree(work, ignore_errors=True)
-print(json.dumps({{"cores": cores, "sec": round(elapsed, 3),
+print(json.dumps({{"master": master, "cores": total_cores, "sec": round(elapsed, 3),
                    "triples": n, "docs": docs,
                    "docs_per_sec": round(docs / elapsed, 2),
                    "triples_per_sec": round(n / elapsed, 2),
@@ -96,28 +112,65 @@ def calibrate(workers: int) -> float:
     return round(total / 3.0 / 1e6, 1)
 
 
-def run_once(cores: int, sf: str) -> dict:
+def build_zip() -> None:
+    """Regenerate robokop_build_spark.zip from the current source tree."""
+    zpath = os.path.join(REPO, "robokop_build_spark.zip")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as zf:
+        pkg = os.path.join(REPO, "robokop_build_spark")
+        for root, _dirs, files in os.walk(pkg):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    zf.write(full, os.path.relpath(full, REPO))
+
+
+def run_once(master: str, total_cores: int, sf: str) -> dict:
     script = CHILD.format(repo=REPO)
     out = subprocess.run(
-        [sys.executable, "-c", script, str(cores), sf],
+        [sys.executable, "-c", script, master, str(total_cores), sf],
         capture_output=True, text=True, timeout=3600, cwd=REPO,
     )
+    if not out.stdout.strip():
+        raise RuntimeError(f"child failed:\n{out.stderr[-4000:]}")
     line = out.stdout.strip().splitlines()[-1]
     return json.loads(line)
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "0.1"
-    repeats = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    small = int(sys.argv[3]) if len(sys.argv) > 3 else 8
-    big = int(sys.argv[4]) if len(sys.argv) > 4 else 32
-    assert big == 4 * small, "north_rule compares N vs 4N"
+    ap = argparse.ArgumentParser()
+    ap.add_argument("sf", nargs="?", default="0.1")
+    ap.add_argument("repeats", nargs="?", type=int, default=3)
+    ap.add_argument("small", nargs="?", type=int, default=8)
+    ap.add_argument("big", nargs="?", type=int, default=32)
+    ap.add_argument("--mode", choices=["threads", "jvms"], default="threads")
+    ap.add_argument("--cores", type=int, default=2, help="cores per executor (jvms)")
+    args = ap.parse_args()
+
+    sf = str(float(args.sf))
+    if args.mode == "jvms":
+        mem = os.environ.get("SPARK_GRAFT_EXEC_MEM_MB", "12288")
+        masters = {
+            "small": (f"local-cluster[1,{args.cores},{mem}]", 1 * args.cores),
+            "big": (f"local-cluster[4,{args.cores},{mem}]", 4 * args.cores),
+        }
+        build_zip()
+        label = f"jvms1v4_c{args.cores}"
+    else:
+        assert args.big == 4 * args.small, "north_rule compares N vs 4N"
+        masters = {
+            "small": (f"local[{args.small}]", args.small),
+            "big": (f"local[{args.big}]", args.big),
+        }
+        label = f"{args.small}v{args.big}"
+    cal_workers = {k: v[1] for k, v in masters.items()}
+
     sys.path.insert(0, REPO)
     from robokop_build_spark.datagen.fixtures import ensure_fixtures
 
-    ensure_fixtures(f"/tmp/robokop_fixtures/sf{float(sf)}", float(sf))
+    ensure_fixtures(f"/tmp/robokop_fixtures/sf{sf}", float(sf))
     ensure_fixtures("/tmp/robokop_fixtures/sf0.001", 0.001)  # JVM warmup corpus
-    sf = str(float(sf))
 
     # warm the page cache so neither level pays cold-read penalties
     import glob
@@ -127,50 +180,48 @@ def main() -> None:
             while fh.read(1 << 22):
                 pass
 
-    results: dict[int, list[dict]] = {small: [], big: []}
-    for r in range(repeats):
+    results: dict[str, list[dict]] = {"small": [], "big": []}
+    for r in range(args.repeats):
         # alternate order: a fixed order would systematically bias one level
-        order = (small, big) if r % 2 == 0 else (big, small)
-        for cores in order:
-            cal_pre = {w: calibrate(w) for w in (small, big)}
-            res = run_once(cores, sf)
-            cal_post = {w: calibrate(w) for w in (small, big)}
+        order = ("small", "big") if r % 2 == 0 else ("big", "small")
+        for level in order:
+            master, cores = masters[level]
+            cal_pre = {k: calibrate(w) for k, w in cal_workers.items()}
+            res = run_once(master, cores, sf)
+            cal_post = {k: calibrate(w) for k, w in cal_workers.items()}
             res["cal_pre"] = cal_pre
             res["cal_post"] = cal_post
             # contemporaneous hardware capacity at THIS worker count
-            res["cal_mean"] = round((cal_pre[cores] + cal_post[cores]) / 2, 1)
-            # hardware big/small thread-scaling ratio AT THIS MOMENT (both
-            # counts measured in the same bracketing)
+            res["cal_mean"] = round((cal_pre[level] + cal_post[level]) / 2, 1)
+            # hardware big/small scaling ratio AT THIS MOMENT
             res["hw_ratio"] = round(
-                (cal_pre[big] / cal_pre[small] + cal_post[big] / cal_post[small]) / 2, 3
+                (cal_pre["big"] / cal_pre["small"] + cal_post["big"] / cal_post["small"]) / 2,
+                3,
             )
-            results[cores].append(res)
-            print(f"run {r} cores={cores}: {json.dumps(res)}", file=sys.stderr, flush=True)
+            results[level].append(res)
+            print(f"run {r} {level} ({master}): {json.dumps(res)}", file=sys.stderr, flush=True)
 
-    best = {c: min(rs, key=lambda x: x["sec"]) for c, rs in results.items()}
-    ts, tb = best[small]["sec"], best[big]["sec"]
-    # hardware ceiling: big/small busy-loop ratio measured within single
-    # bracketings, averaged over the two best runs' moments
-    hw_ratio = round((best[big]["hw_ratio"] + best[small]["hw_ratio"]) / 2, 3)
-    eff = (ts / tb) / (big / small)
+    best = {k: min(rs, key=lambda x: x["sec"]) for k, rs in results.items()}
+    ts, tb = best["small"]["sec"], best["big"]["sec"]
+    hw_ratio = round((best["big"]["hw_ratio"] + best["small"]["hw_ratio"]) / 2, 3)
+    eff = (ts / tb) / 4
     summary = {
         "sf": float(sf),
-        f"local{small}": best[small],
-        f"local{big}": best[big],
-        "cores": [small, big],
+        "mode": args.mode,
+        "small": best["small"],
+        "big": best["big"],
+        "masters": {k: v[0] for k, v in masters.items()},
         "speedup": round(ts / tb, 3),
         "scaling_efficiency": round(eff, 3),
-        # what the hardware itself scales N→4N at measurement time: the
-        # physical ceiling on any job's efficiency
         "hw_thread_scaling": hw_ratio,
-        "hw_ceiling_efficiency": round(hw_ratio / (big / small), 3),
+        "hw_ceiling_efficiency": round(hw_ratio / 4, 3),
         "efficiency_vs_hw_ceiling": round((ts / tb) / hw_ratio, 3),
         "all_runs": results,
         "ts": time.strftime("%Y-%m-%d %H:%M:%S"),
     }
     print(json.dumps(summary))
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", f"scaling_sf{sf}_{small}v{big}.json"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", f"scaling_sf{sf}_{label}.json"), "w") as f:
         json.dump(summary, f, indent=2)
 
 
