@@ -71,6 +71,16 @@ def get_spark(
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         # Deterministic file listing / stable outputs.
         .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # Delay scheduling is tuned for congested-network clusters; on
+        # loopback multi-executor runs (local-cluster) and modern fast
+        # cluster networks the up-to-3s-per-locality-level wait starves
+        # short AQE query stages: measured flat (non-scaling) walls on the
+        # many-small-job stages (doc_entities/triples_base/metrics) going
+        # 1->4 executors while the long map stage scaled 3.65x. No-op on
+        # single-JVM local[N], where every block is already PROCESS_LOCAL.
+        .config(
+            "spark.locality.wait", os.environ.get("SPARK_GRAFT_LOCALITY_WAIT", "0s")
+        )
         # ObjectHashAggregate (collect_set/collect_list) falls back to
         # sort-based aggregation after 128 distinct groups per task by
         # default — measured 4.5× anti-scaling on provenance aggregation.

@@ -55,6 +55,13 @@ if master.startswith("local-cluster"):
     extra["spark.submit.pyFiles"] = os.path.join({repo!r}, "robokop_build_spark.zip")
     extra["spark.executor.memory"] = os.environ.get("SPARK_GRAFT_EXEC_MEM", "12g")
     extra["spark.driver.memory"] = "8g"
+    # the cluster manager OVERRIDES spark.local.dir for executors (startup
+    # WARN) with SPARK_LOCAL_DIRS from the worker env; without this the
+    # executors shuffle on the throttled virtio disk while local[N] uses
+    # tmpfs — measured: doc_entities flat 1.0x and triples_base INVERTING
+    # 0.63x across 1->4 executors, vs 2.9x/2.4x thread-scaling. Workers
+    # inherit this process's env.
+    os.environ["SPARK_LOCAL_DIRS"] = f"{{workbase}}/spark-local-{{tag}}"
 # 4x cores: the heavy reduce stages (doc-scale distinct + parquet encode)
 # need multiple waves per core for balance; at exactly `cores` partitions a
 # single straggler partition owns the wall (measured: 209 CPU-s on 8 tasks)
