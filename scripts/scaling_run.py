@@ -62,18 +62,31 @@ if master.startswith("local-cluster"):
     # 0.63x across 1->4 executors, vs 2.9x/2.4x thread-scaling. Workers
     # inherit this process's env.
     os.environ["SPARK_LOCAL_DIRS"] = f"{{workbase}}/spark-local-{{tag}}"
+if os.environ.get("SPARK_GRAFT_EVENTLOG_DIR"):
+    # per-stage task-metric diagnosis (fetch wait, GC, spill, locality)
+    eld = os.environ["SPARK_GRAFT_EVENTLOG_DIR"]
+    os.makedirs(eld, exist_ok=True)
+    extra["spark.eventLog.enabled"] = "true"
+    extra["spark.eventLog.dir"] = eld
 # 4x cores: the heavy reduce stages (doc-scale distinct + parquet encode)
 # need multiple waves per core for balance; at exactly `cores` partitions a
 # single straggler partition owns the wall (measured: 209 CPU-s on 8 tasks)
 spark = get_spark(app_name=f"scaling-{{tag}}", master=master,
                   shuffle_partitions=max(total_cores * 4, 16), extra_conf=extra)
 spark.sparkContext.setLogLevel("ERROR")
-# warm the JVMs (whole-stage-codegen compilation of the ~25 distinct plans,
-# ~13s measured) on a trivial corpus first: a cluster job amortizes codegen
-# over hours, so timing it against a 1-5 minute sandbox run would bias the
-# efficiency ratio identically at both levels without measuring anything
-# about the design
-warm_fx = "/tmp/robokop_fixtures/sf0.001"
+# warm the JVMs on a real corpus first (sf0.1 = 100k docs). Two per-JVM
+# fixed costs must reach steady state before timing: whole-stage-codegen
+# compilation of the ~25 distinct plans (~13s) AND C2 JIT of the generated
+# loops — each executor JVM compiles independently, and a too-small warmup
+# leaves the short reduce stages running at C1/interpreted speed in the
+# 4-executor config (measured: identical shuffle job 28.9s cold -> 17.2s
+# hot at 4 JVMs, vs 68.3 -> 64.0 at 1 JVM — 2.45x per-byte CPU inflation
+# that vanishes when hot). A cluster job amortizes both over hours, so
+# timing them against a 1-10 minute sandbox run would only measure JVM
+# startup, not the design.
+warm_fx = "/tmp/robokop_fixtures/sf0.1"
+if not os.path.exists(os.path.join(warm_fx, "_FIXTURES_DONE")):
+    warm_fx = "/tmp/robokop_fixtures/sf0.001"
 if os.path.exists(os.path.join(warm_fx, "_FIXTURES_DONE")):
     warm_work = f"{{workbase}}/robokop_scaling_warm/{{tag}}"
     shutil.rmtree(warm_work, ignore_errors=True)
@@ -177,7 +190,7 @@ def main() -> None:
     from robokop_build_spark.datagen.fixtures import ensure_fixtures
 
     ensure_fixtures(f"/tmp/robokop_fixtures/sf{sf}", float(sf))
-    ensure_fixtures("/tmp/robokop_fixtures/sf0.001", 0.001)  # JVM warmup corpus
+    ensure_fixtures("/tmp/robokop_fixtures/sf0.1", 0.1)  # JVM/JIT warmup corpus
 
     # warm the page cache so neither level pays cold-read penalties
     import glob
