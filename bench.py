@@ -38,6 +38,22 @@ BENCH_QUERIES = [
     "text_fingerprint",
 ]
 
+# queries that read only the documents/embeddings tables — the subset that
+# can run against synthesized driver-shaped tables at SF>0.1 (the external
+# driver ships /root/testdata only up to sf0.1; see datagen/driver_tables)
+DOC_QUERIES = [
+    "f3_stopword_tokens",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_embedding_neardup",
+    "text_langid",
+    "text_quality",
+    "text_fingerprint",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -47,6 +63,19 @@ def main() -> None:
         sf = float(sf_label)
     except ValueError:
         sf = 0.1
+
+    # pointing SPARK_GRAFT_SF_DIR at a nonexistent dir (e.g.
+    # /tmp/robokop_driver/sf1.0) synthesizes driver-shaped documents/
+    # embeddings there and benches the doc-table queries at that scale;
+    # the TPC-H-ish queries and the KG flagship (own fixtures) still run
+    # only when their inputs exist
+    synthetic = not os.path.isdir(sf_dir)
+    if synthetic:
+        from robokop_build_spark.datagen.driver_tables import (
+            ensure_driver_tables,
+        )
+
+        ensure_driver_tables(sf_dir, sf)
 
     from robokop_build_spark.session import get_spark
 
@@ -78,7 +107,7 @@ def main() -> None:
     times["kg_end_to_end"] = round(kg_sec, 3)
 
     jvm_gc = spark.sparkContext._jvm.System.gc
-    for name in BENCH_QUERIES:
+    for name in DOC_QUERIES if synthetic else BENCH_QUERIES:
         q = QUERIES[name]
         t0 = time.time()
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,125 @@
+"""Synthetic driver-shaped tables for benchmarking above the driver's
+largest provided scale.
+
+The external driver ships `documents` / `embeddings` parquet only up to
+sf0.1 (/root/testdata, TESTDATA.md). The dedup / ANN / text queries are
+benchmarked at SF=1+ to measure them above the fixed-cost floor, so this
+module synthesizes tables of exactly the driver shape, deterministically
+(seeded numpy), at any SF:
+
+- documents(doc_id int64, text string, lang string, source string,
+  n_chars int64): ~31-word vocabulary word-salad, 10-110 words/doc,
+  5 langs (en-heavy), 20 sources — matching the observed sf0.1 stats —
+  plus an injected exact-duplicate rate (~0.2%) and near-duplicate
+  families (~1%, small token edits) so the dedup operators have
+  realistic positive classes.
+- embeddings(vec_id int64, embedding list<float>, label int32): unit-norm
+  64-d gaussians in 10 label clusters, plus ~1% perturbed near-copies so
+  banded near-dup search has hits.
+
+Row counts per SF mirror the driver: 50,000 docs and 20,000 vectors at
+SF=1.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+DRIVER_TABLES_VERSION = 1
+SEED = 0x5EED
+
+_VOCAB = (
+    "batch part spark line column order small sort fast value scan hash "
+    "slow query agg table the key group stream filter big merge join a "
+    "vector customer pipeline shuffle codec row"
+).split()  # 31 words, mirrors the observed driver vocabulary size
+
+_LANGS = ["en", "de", "fr", "es", "zh"]
+_LANG_P = [0.41, 0.14, 0.15, 0.15, 0.15]
+
+
+def _gen_documents(n_docs: int, rng: np.random.Generator):
+    lens = rng.integers(10, 111, size=n_docs)
+    langs = np.array(_LANGS)[rng.choice(len(_LANGS), size=n_docs, p=_LANG_P)]
+    sources = np.char.add("src", rng.integers(0, 20, size=n_docs).astype(str))
+    vocab = np.array(_VOCAB)
+    texts = [
+        " ".join(vocab[rng.integers(0, len(vocab), size=n)]) for n in lens
+    ]
+    # exact duplicates: ~0.2% of docs copy an earlier doc verbatim
+    n_exact = max(2, n_docs // 500)
+    dup_dst = rng.integers(n_docs // 2, n_docs, size=n_exact)
+    dup_src = rng.integers(0, n_docs // 2, size=n_exact)
+    for d, s in zip(dup_dst, dup_src):
+        texts[d] = texts[s]
+    # near-duplicate families: ~1% of docs are a token-level edit of an
+    # earlier doc (drop one token, append one) — Jaccard/MinHash/SimHash
+    # positives without being exact
+    n_near = max(4, n_docs // 100)
+    near_dst = rng.integers(n_docs // 2, n_docs, size=n_near)
+    near_src = rng.integers(0, n_docs // 2, size=n_near)
+    for d, s in zip(near_dst, near_src):
+        toks = texts[s].split()
+        if len(toks) > 3:
+            del toks[int(rng.integers(0, len(toks)))]
+        toks.append(str(vocab[int(rng.integers(0, len(vocab)))]))
+        texts[d] = " ".join(toks)
+    return {
+        "doc_id": pa.array(np.arange(n_docs, dtype=np.int64)),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs.tolist(), pa.string()),
+        "source": pa.array(sources.tolist(), pa.string()),
+        "n_chars": pa.array(
+            np.array([len(t) for t in texts], dtype=np.int64)
+        ),
+    }
+
+
+def _gen_embeddings(n_vecs: int, rng: np.random.Generator):
+    labels = rng.integers(0, 10, size=n_vecs).astype(np.int32)
+    centers = rng.normal(size=(10, 64)) * 0.5
+    vecs = centers[labels] + rng.normal(size=(n_vecs, 64))
+    # near-copies: ~1% perturb an earlier vector slightly (cosine ≈ 0.999)
+    n_near = max(4, n_vecs // 100)
+    near_dst = rng.integers(n_vecs // 2, n_vecs, size=n_near)
+    near_src = rng.integers(0, n_vecs // 2, size=n_near)
+    vecs[near_dst] = vecs[near_src] + rng.normal(size=(n_near, 64)) * 0.02
+    vecs /= np.linalg.norm(vecs, axis=1, keepdims=True)
+    vecs = vecs.astype(np.float32)
+    return {
+        "vec_id": pa.array(np.arange(n_vecs, dtype=np.int64)),
+        "embedding": pa.array(
+            list(vecs), pa.list_(pa.float32())
+        ),
+        "label": pa.array(labels),
+    }
+
+
+def ensure_driver_tables(out_dir: str, sf: float, seed: int = SEED) -> str:
+    """Generate (once, marker-guarded) driver-shaped documents/embeddings
+    parquet at `out_dir` for scale `sf`. Safe to call repeatedly."""
+    marker = os.path.join(out_dir, "_DRIVER_TABLES_DONE")
+    if os.path.exists(marker):
+        return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+    n_docs = max(100, int(50_000 * sf))
+    n_vecs = max(100, int(20_000 * sf))
+    rng = np.random.default_rng(seed)
+    pq.write_table(
+        pa.table(_gen_documents(n_docs, rng)),
+        os.path.join(out_dir, "documents.parquet"),
+        row_group_size=max(4096, n_docs // 64),
+    )
+    rng = np.random.default_rng(seed + 1)
+    pq.write_table(
+        pa.table(_gen_embeddings(n_vecs, rng)),
+        os.path.join(out_dir, "embeddings.parquet"),
+        row_group_size=max(4096, n_vecs // 64),
+    )
+    with open(marker, "w") as f:
+        f.write(f"v{DRIVER_TABLES_VERSION} sf={sf} seed={seed}\n")
+    return out_dir

@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 3
+ORACLE_FIXTURE_VERSION = 4
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)
@@ -93,6 +93,7 @@ def _kg_query_params(fixture_dir: str) -> dict[str, dict]:
             end_values=["NCBIGENE:7000001"],
             with_support=False,
         ),
+        "kg_contexts_mode": dict(support_pair_mode="paths"),
     }
 
 

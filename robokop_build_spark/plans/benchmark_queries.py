@@ -130,6 +130,16 @@ def kg_end_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kg_contexts_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-constrained support pairs (generate_links_from_paths,
+    builder/builder.py:372-407): supporter edges restricted to (node,
+    ancestor) pairs that co-occur on a program path, instead of all-pairs
+    over the graph (generate_links_from_list). Same DGX build as
+    kg_end_to_end otherwise; the support-edge set is a strict subset
+    (pytest-gated in tests/test_query_programs.py)."""
+    return _kg_query(spark, sf_dir, support_pair_mode="paths")
+
+
 def kg_span_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4 span-sequence-equality invariant: docs whose spans fail to
     round-trip through posexplode→reassemble. Must be empty-ish (returns a
@@ -861,6 +871,7 @@ QUERIES = {
     "kg_var_length": kg_var_length,
     "kg_multi_program": kg_multi_program,
     "kg_end_bound": kg_end_bound,
+    "kg_contexts_mode": kg_contexts_mode,
     "kg_span_roundtrip": kg_span_roundtrip,
     "multimodal_media_features": multimodal_media_features,
     "a1_count_by_lang": a1_count_by_lang,
@@ -928,7 +939,13 @@ def fixture_backed_oracles() -> dict[str, str]:
     d = ensure_oracle_fixtures(DRIVER_SF, DRIVER_SF_DIR)
     oracles = {
         name: f"SELECT {_KG_ORACLE_COLS} FROM read_parquet('{d}/golden_{name}.parquet')"
-        for name in ("kg_end_to_end", "kg_var_length", "kg_multi_program", "kg_end_bound")
+        for name in (
+            "kg_end_to_end",
+            "kg_var_length",
+            "kg_multi_program",
+            "kg_end_bound",
+            "kg_contexts_mode",
+        )
     }
     oracles["multimodal_media_features"] = (
         "SELECT doc_id, span_pos, media_ref, width, height, f0 "

@@ -85,3 +85,35 @@ def test_normalization_has_chains_and_rings(fixture_dir):
     # hub components have 100+ members
     comp_size = Counter(r["canonical"] for r in norm)
     assert max(comp_size.values()) >= 100
+
+
+def test_driver_tables_shape_and_determinism(tmp_path):
+    """Synthetic driver-shaped tables (datagen/driver_tables.py) must match
+    the external driver's documents/embeddings schema, include dedup
+    positive classes, and be byte-deterministic for a (sf, seed)."""
+    import numpy as np
+
+    from robokop_build_spark.datagen.driver_tables import ensure_driver_tables
+
+    d1 = ensure_driver_tables(str(tmp_path / "a"), 0.01)
+    d2 = ensure_driver_tables(str(tmp_path / "b"), 0.01)
+    docs = pq.read_table(f"{d1}/documents.parquet")
+    assert [f.name for f in docs.schema] == [
+        "doc_id", "text", "lang", "source", "n_chars",
+    ]
+    texts = docs.column("text").to_pylist()
+    assert len(texts) == 500
+    # injected exact duplicates exist
+    assert len(set(texts)) < len(texts)
+    # n_chars consistent with text
+    for t, n in zip(texts[:50], docs.column("n_chars").to_pylist()[:50]):
+        assert len(t) == n
+    emb = pq.read_table(f"{d1}/embeddings.parquet")
+    assert [f.name for f in emb.schema] == ["vec_id", "embedding", "label"]
+    vecs = np.array(emb.column("embedding").to_pylist(), dtype=np.float64)
+    assert vecs.shape == (200, 64)
+    assert np.allclose(np.linalg.norm(vecs, axis=1), 1.0, atol=1e-5)
+    # determinism across generations
+    assert texts == pq.read_table(f"{d2}/documents.parquet").column("text").to_pylist()
+    # marker-guard: second call is a no-op returning the same dir
+    assert ensure_driver_tables(str(tmp_path / "a"), 0.01) == d1
