@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 4
+ORACLE_FIXTURE_VERSION = 5
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)
@@ -189,10 +189,17 @@ def ensure_oracle_fixtures(sf: float, sf_dir: str) -> str:
         pa.schema([("id", pa.string()), ("simhash", pa.int64())]),
     )
 
-    # hyperplane constants for the banded embedding near-dup query
+    # hyperplane constants for the banded embedding near-dup query;
+    # signature width mirrors the operator's corpus-adaptive sizing
+    # (similarity.auto_signature_bits over the same embeddings table)
+    from ..operators.similarity import auto_signature_bits
+
+    n_vecs = pq.read_metadata(os.path.join(sf_dir, "embeddings.parquet")).num_rows
     plane_rows = [
         {"tbl": t, "bit": b, "vec": p}
-        for t, b, p in near_duplicate_planes(dim=64, n_tables=4, bits_per_table=8)
+        for t, b, p in near_duplicate_planes(
+            dim=64, n_tables=4, bits_per_table=auto_signature_bits(n_vecs)
+        )
     ]
     _write(
         os.path.join(out, "neardup_planes.parquet"),

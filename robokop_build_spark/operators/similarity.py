@@ -128,6 +128,20 @@ def lsh_topk(
     )
 
 
+def auto_signature_bits(
+    n_rows: int, floor_bits: int = 8, target_bucket: int = 4
+) -> int:
+    """Signature width that keeps expected bucket population ~constant as
+    the corpus grows: bits = log2(n / target_bucket), floored at
+    floor_bits. A FIXED width means bucket population grows linearly with
+    the corpus and the per-bucket self-join goes quadratic (measured: 2^8
+    buckets × 20k vectors → 6M candidate pairs for 197 true pairs at
+    SF=1); scaling bits with log(n) keeps candidates O(n·target)."""
+    import math
+
+    return max(floor_bits, math.ceil(math.log2(max(n_rows, 1) / target_bucket)))
+
+
 def near_duplicate_planes(
     dim: int, n_tables: int, bits_per_table: int, seed: int = 42
 ) -> list[tuple[int, int, list[float]]]:
@@ -148,7 +162,7 @@ def embedding_near_duplicates(
     threshold: float = 0.95,
     dim: int = 64,
     n_tables: int = 4,
-    bits_per_table: int = 8,
+    bits_per_table: int | None = None,
     seed: int = 42,
     max_bucket_size: int | None = None,
 ) -> DataFrame:
@@ -164,11 +178,33 @@ def embedding_near_duplicates(
     dropped before the self-join (a degenerate bucket, e.g. all-zero
     embeddings, would otherwise go quadratic); near-dup pairs in a dropped
     bucket still surface through the other n_tables-1 tables.
+
+    bits_per_table=None (default) sizes the signature from the corpus
+    row count (auto_signature_bits), keeping expected bucket population —
+    and therefore candidate volume per row — constant as the corpus
+    grows. Recall per table is p^bits (p = 1 - θ/π), so wider signatures
+    trade recall for candidate discipline; at true web scale the recall
+    curve is the argument for graduating to IVF/multi-probe, which this
+    banded layout is the on-ramp for.
     """
+    if bits_per_table is None:
+        bits_per_table = auto_signature_bits(embeddings.count())
     by_table = near_duplicate_planes(dim, n_tables, bits_per_table, seed)
+    norm = F.sqrt(
+        F.aggregate(
+            F.col(vec_col),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
     sig = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
+        # per-row norm computed ONCE here; the per-candidate cosine below
+        # then only needs the dot product (the norms otherwise re-derive
+        # per candidate pair through interpreted higher-order functions —
+        # the dominant cost at 6M candidates)
+        norm.alias("nrm"),
         F.explode(
             F.array(
                 *[
@@ -182,17 +218,33 @@ def embedding_near_duplicates(
                 ]
             )
         ).alias("ts"),
-    ).select("id", "vec", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig"))
+    ).select(
+        "id", "vec", "nrm", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    )
     if max_bucket_size is not None:
         w = Window.partitionBy("tbl", "sig")
         sig = sig.withColumn("_n", F.count(F.lit(1)).over(w)).filter(
             F.col("_n") <= max_bucket_size
         ).drop("_n")
+    # materialize before the self-join: both sides otherwise recompute the
+    # n_tables × bits_per_table signature dots over the full corpus
+    from pyspark import StorageLevel
+
+    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
     a, b = sig.alias("a"), sig.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.vec"),
+            F.col("b.vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(b, ["tbl", "sig"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .withColumn("score", F.round(cosine_expr(F.col("a.vec"), F.col("b.vec")), 6))
+        .withColumn("score", F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
         .filter(F.col("score") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "score")
         .distinct()
