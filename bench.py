@@ -69,7 +69,9 @@ def main() -> None:
     # embeddings there and benches the doc-table queries at that scale;
     # the TPC-H-ish queries and the KG flagship (own fixtures) still run
     # only when their inputs exist
-    synthetic = not os.path.isdir(sf_dir)
+    synthetic = not os.path.isdir(sf_dir) or os.path.exists(
+        os.path.join(sf_dir, "_DRIVER_TABLES_DONE")
+    )
     if synthetic:
         from robokop_build_spark.datagen.driver_tables import (
             ensure_driver_tables,

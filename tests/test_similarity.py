@@ -87,3 +87,18 @@ def test_near_dup_bucket_cap_drops_degenerate_bucket(spark, vecs):
         for r in embedding_near_duplicates(df, threshold=0.95, dim=DIM).collect()
     }
     assert any(a >= 100 and b >= 100 for a, b in uncapped)  # cap was the cause
+
+
+def test_auto_signature_bits_tracks_corpus_size():
+    """Signature width grows with log2(n) so expected bucket population —
+    and therefore per-bucket candidate volume — stays constant at scale;
+    floored so tiny corpora keep enough bits for the packed-long key."""
+    from robokop_build_spark.operators.similarity import auto_signature_bits
+
+    assert auto_signature_bits(0) == 8
+    assert auto_signature_bits(200) == 8          # driver sf0.01 scale
+    assert auto_signature_bits(2_000) == 9        # driver sf0.1 scale
+    assert auto_signature_bits(20_000) == 13      # synthetic SF=1
+    assert auto_signature_bits(20_000_000) == 23
+    # doubling the corpus adds exactly one bit in the un-floored regime
+    assert auto_signature_bits(40_000) == auto_signature_bits(20_000) + 1
