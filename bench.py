@@ -115,6 +115,11 @@ def main() -> None:
         q(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
         # keep queries independent: drop cached state between measurements
+        # (release the operator-registered persists explicitly, then sweep
+        # anything else; see robokop_build_spark/caching.py)
+        from robokop_build_spark.caching import release_operator_caches
+
+        release_operator_caches()
         spark.catalog.clearCache()
         jvm_gc()
 

@@ -101,10 +101,19 @@ def _gen_embeddings(n_vecs: int, rng: np.random.Generator):
 
 def ensure_driver_tables(out_dir: str, sf: float, seed: int = SEED) -> str:
     """Generate (once, marker-guarded) driver-shaped documents/embeddings
-    parquet at `out_dir` for scale `sf`. Safe to call repeatedly."""
+    parquet at `out_dir` for scale `sf`. Safe to call repeatedly.
+
+    The marker records (version, sf, seed); calling with different values
+    against an existing dir regenerates rather than silently serving
+    stale tables at the wrong scale (a mis-sized bench run is a silent
+    wrong-answer for throughput numbers)."""
     marker = os.path.join(out_dir, "_DRIVER_TABLES_DONE")
+    stamp = f"v{DRIVER_TABLES_VERSION} sf={sf} seed={seed}\n"
     if os.path.exists(marker):
-        return out_dir
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out_dir
+        os.remove(marker)  # stale params: fall through and regenerate
     os.makedirs(out_dir, exist_ok=True)
     n_docs = max(100, int(50_000 * sf))
     n_vecs = max(100, int(20_000 * sf))
@@ -121,5 +130,5 @@ def ensure_driver_tables(out_dir: str, sf: float, seed: int = SEED) -> str:
         row_group_size=max(4096, n_vecs // 64),
     )
     with open(marker, "w") as f:
-        f.write(f"v{DRIVER_TABLES_VERSION} sf={sf} seed={seed}\n")
+        f.write(stamp)
     return out_dir

@@ -19,6 +19,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..caching import register_persisted
+
 
 def exact_duplicates(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup via hash-groupBy: one row per distinct text with the
@@ -76,9 +78,12 @@ def ngram_jaccard_pairs(
         .distinct()
         # consumed three times (sizes + both self-join sides); without
         # materialization each consumer re-runs the split/slice/explode
-        # scan — measured 3× the shingle cost at SF=1
+        # scan — measured 3× the shingle cost at SF=1. Registered with
+        # caching.release_operator_caches() so loops can drop it after the
+        # consuming action.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
+    register_persisted(sh)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (
@@ -205,7 +210,7 @@ def minhash_lsh_pairs(
     # docs × bands rows of three scalar columns — linear, spill-safe
     from pyspark import StorageLevel
 
-    banded = banded.persist(StorageLevel.MEMORY_AND_DISK)
+    banded = register_persisted(banded.persist(StorageLevel.MEMORY_AND_DISK))
     x, y = banded.alias("x"), banded.alias("y")
     return (
         x.join(y, ["band", "bkey"])

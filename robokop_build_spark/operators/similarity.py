@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import register_persisted
+
 
 def cosine_expr(a, b):
     """cosine(a, b) as a column expression (double), sequential-order
@@ -142,6 +144,20 @@ def auto_signature_bits(
     return max(floor_bits, math.ceil(math.log2(max(n_rows, 1) / target_bucket)))
 
 
+def _estimated_rows(df: DataFrame) -> int:
+    """Corpus row count without a dedicated scan job when possible:
+    Catalyst's optimized-plan stats carry an exact rowCount for analyzed /
+    cached relations; otherwise fall back to count() (one metadata-cheap
+    job over a parquet scan)."""
+    try:
+        rc = df._jdf.queryExecution().optimizedPlan().stats().rowCount()
+        if rc.isDefined():
+            return int(str(rc.get()))
+    except Exception:
+        pass
+    return df.count()
+
+
 def near_duplicate_planes(
     dim: int, n_tables: int, bits_per_table: int, seed: int = 42
 ) -> list[tuple[int, int, list[float]]]:
@@ -165,6 +181,7 @@ def embedding_near_duplicates(
     bits_per_table: int | None = None,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (cos ≥ threshold), banded multi-table
     LSH (mirrors the MinHash banding design, dedup.py): a pair is a
@@ -188,7 +205,12 @@ def embedding_near_duplicates(
     banded layout is the on-ramp for.
     """
     if bits_per_table is None:
-        bits_per_table = auto_signature_bits(embeddings.count())
+        # n_rows from the caller (or table stats) avoids an extra full-scan
+        # count() job before the real query; count() is the fallback when
+        # the corpus size is genuinely unknown
+        if n_rows is None:
+            n_rows = _estimated_rows(embeddings)
+        bits_per_table = auto_signature_bits(n_rows)
     by_table = near_duplicate_planes(dim, n_tables, bits_per_table, seed)
     norm = F.sqrt(
         F.aggregate(
@@ -230,7 +252,7 @@ def embedding_near_duplicates(
     # n_tables × bits_per_table signature dots over the full corpus
     from pyspark import StorageLevel
 
-    sig = sig.persist(StorageLevel.MEMORY_AND_DISK)
+    sig = register_persisted(sig.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = sig.alias("a"), sig.alias("b")
     dot = F.aggregate(
         F.zip_with(

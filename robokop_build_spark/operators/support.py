@@ -51,9 +51,20 @@ def finalize_support_edges(
         F.lit(pred.split(":")[1]).alias("standard_label"),
         F.lit(orig_pred_id).alias("original_predicate_id"),
         F.lit(orig_pred_label).alias("original_predicate_label"),
-        F.map_concat(
-            F.create_map(F.lit("reversed"), F.lit("False")), "properties"
-        ).alias("properties"),
+        # inject the default 'reversed' only when the supporter's own
+        # properties don't already carry one: map_concat under the default
+        # spark.sql.mapKeyDedupPolicy=EXCEPTION throws on a duplicate key,
+        # while the oracle's {'reversed': 'False', **properties} lets the
+        # caller's value win — this keeps both sides agreeing either way
+        F.when(
+            F.map_contains_key("properties", F.lit("reversed")), F.col("properties")
+        )
+        .otherwise(
+            F.map_concat(
+                F.create_map(F.lit("reversed"), F.lit("False")), "properties"
+            )
+        )
+        .alias("properties"),
     )
 
 

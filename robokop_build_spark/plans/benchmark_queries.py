@@ -27,6 +27,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _parquet_num_rows(path: str) -> int | None:
+    """Exact row count from parquet footer metadata (no Spark job). Returns
+    None when the path isn't a single readable parquet file (caller falls
+    back to the operator's own estimate)."""
+    try:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        return None
+
+
 # --------------------------------------------------------------------------
 # KG pipeline entries (own interleaved-span fixtures; rows-only checks)
 # --------------------------------------------------------------------------
@@ -775,7 +787,15 @@ def ann_embedding_neardup(spark, sf_dir):
     value (the driver embeddings are random gaussians with no planted dups;
     0.35 ≈ 2.8σ of the cosine null so candidate pairs exist)."""
     return SIM.embedding_near_duplicates(
-        _t(spark, sf_dir, "embeddings"), "vec_id", "embedding", threshold=0.35, dim=64
+        _t(spark, sf_dir, "embeddings"),
+        "vec_id",
+        "embedding",
+        threshold=0.35,
+        dim=64,
+        # exact row count from the parquet footer (metadata-only read): the
+        # call site knows the corpus, so the operator skips its fallback
+        # full-scan count() job (one fewer job in the event log)
+        n_rows=_parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")),
     )
 
 

@@ -117,3 +117,24 @@ def test_driver_tables_shape_and_determinism(tmp_path):
     assert texts == pq.read_table(f"{d2}/documents.parquet").column("text").to_pylist()
     # marker-guard: second call is a no-op returning the same dir
     assert ensure_driver_tables(str(tmp_path / "a"), 0.01) == d1
+
+
+def test_driver_tables_marker_param_mismatch_regenerates(tmp_path):
+    """Calling ensure_driver_tables with a different sf (or seed) against an
+    existing dir must regenerate, not silently serve mis-sized tables."""
+    from robokop_build_spark.datagen.driver_tables import ensure_driver_tables
+
+    d = str(tmp_path / "x")
+    ensure_driver_tables(d, 0.01)
+    assert pq.read_table(f"{d}/documents.parquet").num_rows == 500
+    # same params: no-op
+    ensure_driver_tables(d, 0.01)
+    assert pq.read_table(f"{d}/documents.parquet").num_rows == 500
+    # different sf: regenerated at the new scale
+    ensure_driver_tables(d, 0.02)
+    assert pq.read_table(f"{d}/documents.parquet").num_rows == 1000
+    # different seed: regenerated (marker mismatch), same shape
+    t1 = pq.read_table(f"{d}/documents.parquet").column("text").to_pylist()
+    ensure_driver_tables(d, 0.02, seed=7)
+    t2 = pq.read_table(f"{d}/documents.parquet").column("text").to_pylist()
+    assert t1 != t2

@@ -76,3 +76,26 @@ def test_chi2_closed_form_matches_scipy_formula(spark):
             chi2 += (max(abs(o[i][j] - e) - 0.5, 0.0)) ** 2 / e
     assert math.isclose(row["chi2"], chi2, rel_tol=1e-12)
     assert math.isclose(row["exp"], 30 * 40 / 100, rel_tol=1e-12)
+
+
+def test_finalize_support_edges_reversed_key_caller_wins(spark):
+    """properties already carrying 'reversed' must survive untouched (the
+    oracle's {'reversed': 'False', **properties} lets the caller win);
+    map_concat under mapKeyDedupPolicy=EXCEPTION would throw instead."""
+    from robokop_build_spark.operators.support import finalize_support_edges
+
+    df = spark.createDataFrame(
+        [
+            ("A:1", "B:1", ["PMID:1"], {"reversed": "True", "k": "v"}),
+            ("A:2", "B:2", ["PMID:2"], {}),
+        ],
+        "subj string, obj string, publications array<string>, properties map<string,string>",
+    )
+    out = {
+        r["subj"]: r["properties"]
+        for r in finalize_support_edges(
+            df, "biolink:correlated_with", "omnicorp.term_to_term", "RO:0002610", "correlated with"
+        ).collect()
+    }
+    assert out["A:1"]["reversed"] == "True" and out["A:1"]["k"] == "v"
+    assert out["A:2"]["reversed"] == "False"
