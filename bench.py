@@ -30,6 +30,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_neardup_verified",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_embedding_neardup",
@@ -46,6 +47,7 @@ DOC_QUERIES = [
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
+    "dedup_neardup_verified",
     "dedup_simhash",
     "ann_cosine_topk",
     "ann_embedding_neardup",

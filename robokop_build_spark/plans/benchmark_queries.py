@@ -739,6 +739,71 @@ FROM banded x JOIN banded y
 """
 
 
+def dedup_neardup_verified(spark, sf_dir):
+    """LSH-candidates → exact Jaccard composition (the scale path with
+    exact scores; retires the all-pairs shingle self-join). Same banding
+    params as dedup_minhash_lsh, same threshold as dedup_ngram_jaccard —
+    so the output is exactly their intersection."""
+    return D.lsh_verified_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.12,
+        num_hashes=16,
+        bands=8,
+    )
+
+
+# the MinHash/banding CTEs are DEDUP_MINHASH_SQL's; the verify stage
+# computes exact Jaccard over distinct-shingle sets on candidates only
+DEDUP_VERIFIED_SQL = """
+WITH sh0 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t)-2, 0)+1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+),
+nz AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
+hashed AS (
+  SELECT doc_id AS id,
+         list_transform(sh, s -> struct_pack(
+             h1 := CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT),
+             h2 := CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT))) AS hs
+  FROM nz
+),
+sig AS (
+  SELECT id,
+         list_transform(range(0, 16), i ->
+           list_min(list_transform(hs, h -> (h.h1 + i * h.h2) % 4294967311))) AS sig
+  FROM hashed
+),
+banded AS (
+  SELECT id, band,
+         md5(CAST(sig[band*2+1] AS VARCHAR) || '|' || CAST(sig[band*2+2] AS VARCHAR)) AS bkey
+  FROM sig, (SELECT unnest(range(0, 8)) AS band)
+),
+cand AS (
+  SELECT DISTINCT x.id AS id_a, y.id AS id_b
+  FROM banded x JOIN banded y
+    ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
+),
+sets AS (SELECT doc_id AS id, list_distinct(sh) AS shset FROM nz),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(a.shset, b.shset)) AS n_shared,
+         len(a.shset) AS n_a, len(b.shset) AS n_b
+  FROM cand
+  JOIN sets a ON a.id = cand.id_a
+  JOIN sets b ON b.id = cand.id_b
+)
+SELECT id_a, id_b,
+       round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
+FROM scored
+WHERE round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) >= 0.12
+"""
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-pairs. Oracled: the DuckDB twin replays the banded
     Hamming join over a signature fixture computed by the scalar reference
@@ -915,6 +980,7 @@ QUERIES = {
     "dedup_exact": dedup_exact,
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_neardup_verified": dedup_neardup_verified,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_embedding_neardup": ann_embedding_neardup,
@@ -1042,6 +1108,7 @@ ORACLES = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
+    "dedup_neardup_verified": DEDUP_VERIFIED_SQL,
     "ann_cosine_topk": ANN_SQL,
     "text_langid": LANGID_SQL,
     "text_token_stats": TOKEN_SQL,

@@ -68,3 +68,39 @@ def test_simhash_stable_across_runs(docs):
     a = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     b = {r["id"]: r["simhash"] for r in simhash(docs.repartition(5)).collect()}
     assert a == b
+
+
+def test_lsh_verified_equals_exact_restricted_to_candidates(spark):
+    """The composed op must produce EXACTLY ngram_jaccard_pairs ∩
+    lsh-candidates — same jaccard values, no extra or missing pairs — and
+    at fixture scale (planted near-dup families) it must recover the
+    high-similarity pairs the exact op finds."""
+    from robokop_build_spark.operators.dedup import lsh_verified_near_duplicates
+
+    fixture_docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            fixture_docs, "doc_id", "text", k=3, threshold=0.12
+        ).collect()
+    }
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(
+            fixture_docs, "doc_id", "text", k=3, num_hashes=16, bands=8
+        ).collect()
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in lsh_verified_near_duplicates(
+            fixture_docs, "doc_id", "text", k=3, threshold=0.12, num_hashes=16, bands=8
+        ).collect()
+    }
+    want = {p: j for p, j in exact.items() if p in cands}
+    assert got == want
+    assert len(got) > 0  # planted near-dups must surface
+    # recall floor at this banding: everything the exact op scores ≥0.5
+    # must be an LSH candidate at 8 bands × 2 rows on the fixture corpus
+    high = {p for p, j in exact.items() if j >= 0.5}
+    assert high <= set(got)
