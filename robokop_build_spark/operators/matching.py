@@ -120,77 +120,81 @@ class _BatchScan:
     """Shared state of one vectorized scan over a batch of texts: flat
     (batch-wide) token arrays plus the detected mentions in emit order.
 
-    Vectorization levers (why this beats the per-token scalar scan ~3×):
-    - tokens are hash-factorized once per batch (pd.factorize, C): every
-      per-token string op (lower, length, start-probe, md5 bucket) runs
-      once per UNIQUE token — the corpus vocabulary is Zipf-tiny — and
-      broadcasts back through the int code array;
+    Vectorization levers (why this beats the per-token scalar scan):
+    - tokenize + token-interning run as Arrow C++ kernels
+      (pc.split_pattern → ListArray, pc.dictionary_encode → int codes):
+      no Python string is ever materialized per token — the batch's texts
+      stay in Arrow buffers end to end, and row boundaries come from the
+      ListArray offsets for free;
+    - every per-token string op (lower, length, start-probe, md5 bucket)
+      runs once per UNIQUE token — the corpus vocabulary is Zipf-tiny —
+      and broadcasts back through the int code array. Lowercasing runs in
+      PYTHON over the uniques (str.lower), not an Arrow kernel, so case
+      mapping is bit-identical to the scalar detect() the oracle replays
+      (utf8proc and CPython disagree on locale-special codepoints);
     - Python touches only surface-START positions (the scan's inner loop
       is >90% misses in a natural corpus), with numpy arrays pre-subset to
       those positions and converted to Python lists (list indexing is ~5×
       numpy scalar indexing inside a hot loop);
     - the greedy probe depth is capped by trie.start_maxlen[first token],
-      so 1-word surfaces never pay the 3- and 2-gram join attempts.
+      so 1-word surfaces never pay the 3- and 2-gram join attempts;
+    - emitted surface strings are built from the per-unique Python strings
+      (uniq_py[code]), so even the emit path allocates no new token
+      strings for 1-gram matches (the overwhelmingly common case).
     """
 
-    SEP = "\x1e"  # record separator between rows in the single flat split
-
     __slots__ = (
-        "texts", "flat", "codes", "counts", "row_first",
+        "codes", "counts", "row_first",
         "uniq_lower",
         "m_row", "m_start", "m_surface", "m_cands",
     )
 
     def __init__(self, texts, trie: Trie):
-        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-        texts = [t or "" for t in texts]  # None-safe, like scalar detect
-        self.texts = texts
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        if not isinstance(texts, pa.Array):
+            texts = pa.array(
+                [t if t is not None else "" for t in texts], pa.string()
+            )
+        elif texts.null_count:
+            texts = pc.fill_null(texts, "")  # None-safe, like scalar detect
         self.m_row: list[int] = []
         self.m_start: list[int] = []
         self.m_surface: list[str] = []
         self.m_cands: list[tuple] = []
-        if not texts:
-            self.flat = []
+        if len(texts) == 0:
             self.codes = np.empty(0, np.int64)
             self.counts = np.empty(0, np.int64)
             self.row_first = np.empty(0, np.int64)
             self.uniq_lower = np.empty(0, object)
             return
-        # ONE C-level split for the whole batch; separator tokens mark row
-        # boundaries (an empty text contributes one phantom '' token, which
-        # is never a surface and never carries a mention — harmless)
-        flat = f" {self.SEP} ".join(texts).split(" ") if len(texts) > 1 else (
-            texts[0].split(" ") if texts[0] else [""]
-        )
-        self.flat = flat
-        codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
+        # ONE C-level split for the whole batch; an empty text contributes
+        # one phantom '' token (never a surface, never a mention — harmless,
+        # and scalar detect() early-outs to [] for it)
+        toks = pc.split_pattern(texts, " ")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offsets = toks.offsets.to_numpy().astype(np.int64)
+        flat_arr = toks.flatten()
+        enc = pc.dictionary_encode(flat_arr)
+        codes = enc.indices.to_numpy().astype(np.int64)
+        uniq_arr = enc.dictionary
+        uniq_py: list[str] = uniq_arr.to_pylist()
+        # Python-exact lowercase, once per unique
+        low_py = [u.lower() for u in uniq_py]
         self.codes = codes
-        uniq = pd.Series(uniques, dtype=object)
-        uniq_lower_s = uniq.str.lower()
-        self.uniq_lower = uniq_lower_s.to_numpy()
-        sep_code = -1
-        for i, u in enumerate(uniques):
-            if u == self.SEP:
-                sep_code = i
-                break
-        sep_pos = (
-            np.flatnonzero(codes == sep_code)
-            if sep_code >= 0
-            else np.empty(0, np.int64)
-        )
-        if len(sep_pos) != len(texts) - 1:
-            # a text contained a bare separator token (pathological):
-            # correctness via the scalar scan
-            self._init_scalar(texts, trie)
-            return
-        total = len(flat)
-        self.row_first = np.concatenate(([0], sep_pos + 1))
-        row_end_a = np.append(sep_pos, total)
+        self.uniq_lower = np.asarray(low_py, dtype=object)
+        self.row_first = offsets[:-1]
+        row_end_a = offsets[1:]
         self.counts = row_end_a - self.row_first
 
-        # second factorize into CASE-FOLDED code space: case variants of a
-        # token must share one code or the code-tuple probes below miss
+        # case-folded code space: case variants of a token must share one
+        # code or the code-tuple probes below miss
+        import pandas as pd
+
         u2l, l_uniques = pd.factorize(self.uniq_lower, sort=False)
         lcodes = u2l[codes]
         uniq_list = l_uniques.tolist()
@@ -198,9 +202,10 @@ class _BatchScan:
         # per-lowercase-unique precomputation: start flag, probe-depth cap,
         # and the 1-gram candidate list. A start token whose longest surface
         # is one word IS a surface — its match needs zero dict probes.
-        uniq_is_start = pd.Series(l_uniques).isin(trie.starts).to_numpy()
-        if sep_code >= 0:
-            uniq_is_start[u2l[sep_code]] = False
+        starts = trie.starts
+        uniq_is_start = np.fromiter(
+            (u in starts for u in uniq_list), bool, len(uniq_list)
+        )
         start_pos = np.flatnonzero(uniq_is_start[lcodes])
         if len(start_pos) == 0:
             return
@@ -217,21 +222,24 @@ class _BatchScan:
         tok2code = {t: i for i, t in enumerate(uniq_list)}
         surf2: dict[tuple, tuple] = {}
         surf3: dict[tuple, tuple] = {}
-        for toks, cands in trie.multi_surfaces:
-            cs = tuple(tok2code.get(t, -1) for t in toks)
+        for stoks, cands in trie.multi_surfaces:
+            cs = tuple(tok2code.get(t, -1) for t in stoks)
             if -1 not in cs:
                 (surf2 if len(cs) == 2 else surf3)[cs] = tuple(cands)
 
         # char offset of each token within its row (cumsum of len+1 rebased
-        # per row) — materialized only at start positions
-        lens_plus = (uniq.str.len().to_numpy(np.int64) + 1)[codes]
+        # per row) — materialized only at start positions. utf8_length
+        # counts code points, same as Python len().
+        ulen = pc.utf8_length(uniq_arr).to_numpy().astype(np.int64)
+        lens_plus = ulen[codes] + 1
         gcum = np.concatenate(([0], np.cumsum(lens_plus)[:-1]))
-        sp_rows = np.searchsorted(sep_pos, start_pos)
+        sp_rows = np.searchsorted(row_end_a, start_pos, side="right")
         off_s = (gcum[start_pos] - gcum[self.row_first[sp_rows]]).tolist()
         end_s = row_end_a[sp_rows].tolist()
         row_s = sp_rows.tolist()
         sp = start_pos.tolist()
         codes_l = lcodes.tolist()
+        codes_o = codes.tolist()  # original-case codes, for surface strings
 
         m_row, m_start = self.m_row, self.m_start
         m_surface, m_cands = self.m_surface, self.m_cands
@@ -252,7 +260,7 @@ class _BatchScan:
                 # with this token is the token itself
                 m_row.append(r)
                 m_start.append(off_s[j])
-                m_surface.append(flat[f])
+                m_surface.append(uniq_py[codes_o[f]])
                 m_cands.append(cands1_l[code])
                 nxt = f + 1
                 continue
@@ -272,37 +280,12 @@ class _BatchScan:
                 m_row.append(r)
                 m_start.append(off_s[j])
                 m_surface.append(
-                    flat[f] if k == 1 else " ".join(flat[f : f + k])
+                    uniq_py[codes_o[f]]
+                    if k == 1
+                    else " ".join(uniq_py[c] for c in codes_o[f : f + k])
                 )
                 m_cands.append(cands)
                 nxt = f + k
-
-    def _init_scalar(self, texts, trie: Trie) -> None:
-        """Fallback: scalar scan per row (identical semantics by
-        construction), still exposing the flat-array interface."""
-        import pandas as pd
-
-        tok_lists = [t.split(" ") if t else [] for t in texts]
-        self.counts = np.fromiter(
-            (len(ts) for ts in tok_lists), np.int64, len(tok_lists)
-        )
-        flat = [t for ts in tok_lists for t in ts]
-        self.flat = flat
-        if flat:
-            codes, uniques = pd.factorize(np.asarray(flat, dtype=object), sort=False)
-            self.codes = codes
-            self.uniq_lower = pd.Series(uniques, dtype=object).str.lower().to_numpy()
-        else:
-            self.codes = np.empty(0, np.int64)
-            self.uniq_lower = np.empty(0, object)
-        row_end = np.cumsum(self.counts)
-        self.row_first = np.concatenate(([0], row_end[:-1]))
-        for r, text in enumerate(texts):
-            for m in detect(text, trie):
-                self.m_row.append(r)
-                self.m_start.append(m.start)
-                self.m_surface.append(m.surface)
-                self.m_cands.append(m.candidates)
 
     def context_vectors(self, rows: list[int], dim: int = EMBED_DIM) -> np.ndarray:
         """featurize(texts[r]) for the requested rows, batch-vectorized:
@@ -353,18 +336,11 @@ def detect_batch(texts, trie: Trie) -> list[list[Mention]]:
     return out
 
 
-def mention_frame(doc_ids, span_poss, span_offsets, texts, trie, emb_map):
-    """The full mention-UDF body, batch-vectorized end to end: detect →
-    link → column assembly. Returns a dict of equal-length columns
-    (doc_id, span_pos, span_offset, mention_start, surface, curie,
-    node_type, score) in the exact emit order — and the exact values — of
-    the scalar detect() + link_mentions() loop (parity-tested)."""
-    scan = _BatchScan(texts, trie)
+def _link_batch(scan: _BatchScan, emb_map):
+    """Link every detected mention of a scan: unambiguous mentions resolve
+    directly (score 0.0, the common case); ambiguous ones rerank against
+    ONE per-row context vector. Returns (curies, ntypes, scores)."""
     n_m = len(scan.m_row)
-    m_row = np.asarray(scan.m_row, np.int64) if n_m else np.empty(0, np.int64)
-
-    # linking: unambiguous mentions resolve directly (score 0.0, the common
-    # case); ambiguous ones rerank against ONE per-row context vector
     curies: list[str] = [""] * n_m
     ntypes: list[str] = [""] * n_m
     scores = np.zeros(n_m, np.float64)
@@ -377,16 +353,30 @@ def mention_frame(doc_ids, span_poss, span_offsets, texts, trie, emb_map):
         else:
             amb.append(i)
     if amb:
-        amb_rows = sorted({int(m_row[i]) for i in amb})
+        m_row = scan.m_row
+        amb_rows = sorted({m_row[i] for i in amb})
         ctx = scan.context_vectors(amb_rows)
         row_ctx = {r: ctx[j] for j, r in enumerate(amb_rows)}
         for i in amb:
             cand, score = pick_candidate(
-                scan.m_cands[i], row_ctx[int(m_row[i])], emb_map
+                scan.m_cands[i], row_ctx[m_row[i]], emb_map
             )
             curies[i] = cand.curie
             ntypes[i] = cand.node_type
             scores[i] = score
+    return curies, ntypes, scores
+
+
+def mention_frame(doc_ids, span_poss, span_offsets, texts, trie, emb_map):
+    """The full mention-UDF body, batch-vectorized end to end: detect →
+    link → column assembly. Returns a dict of equal-length columns
+    (doc_id, span_pos, span_offset, mention_start, surface, curie,
+    node_type, score) in the exact emit order — and the exact values — of
+    the scalar detect() + link_mentions() loop (parity-tested)."""
+    scan = _BatchScan(texts, trie)
+    n_m = len(scan.m_row)
+    m_row = np.asarray(scan.m_row, np.int64) if n_m else np.empty(0, np.int64)
+    curies, ntypes, scores = _link_batch(scan, emb_map)
 
     doc_np = np.asarray(doc_ids, dtype=object)
     pos_np = np.asarray(span_poss)
@@ -401,6 +391,38 @@ def mention_frame(doc_ids, span_poss, span_offsets, texts, trie, emb_map):
         "node_type": ntypes,
         "score": scores,
     }
+
+
+def mention_record_batch(batch, trie, emb_map):
+    """mention_frame over a pyarrow RecordBatch (doc_id, span_pos, offset,
+    text) → pyarrow RecordBatch in the mention-UDF schema. The Arrow-native
+    twin of mention_frame for mapInArrow: input columns are never converted
+    to pandas — texts go straight into the Arrow-kernel scan, and the
+    output doc_id/span_pos/span_offset columns are pc.take gathers on the
+    input buffers. Emission order and values are identical to
+    mention_frame (shared scan + _link_batch, parity-tested)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    scan = _BatchScan(batch.column("text"), trie)
+    curies, ntypes, scores = _link_batch(scan, emb_map)
+    idx = pa.array(scan.m_row, pa.int64())
+    return pa.RecordBatch.from_arrays(
+        [
+            pc.take(batch.column("doc_id"), idx),
+            pc.take(batch.column("span_pos"), idx),
+            pc.take(batch.column("offset"), idx),
+            pa.array(scan.m_start, pa.int32()),
+            pa.array(scan.m_surface, pa.string()),
+            pa.array(curies, pa.string()),
+            pa.array(ntypes, pa.string()),
+            pa.array(scores, pa.float64()),
+        ],
+        names=[
+            "doc_id", "span_pos", "span_offset", "mention_start",
+            "surface", "curie", "node_type", "score",
+        ],
+    )
 
 
 @lru_cache(maxsize=1 << 20)

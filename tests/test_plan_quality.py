@@ -145,7 +145,8 @@ def test_mentions_single_python_exchange(spark, fixture_dir):
     docs = read_fixture(spark, fixture_dir, "documents")
     lex = read_fixture(spark, fixture_dir, "lexicon")
     plan = _plan(detect_mentions(explode_spans(docs), lex))
-    assert plan.count("MapInPandas") == 1
+    assert plan.count("MapInArrow") == 1
+    assert "MapInPandas" not in plan  # no pandas round-trip in the scan
 
 
 def test_lsh_self_joins_reuse_materialized_signatures(spark):
