@@ -93,6 +93,7 @@ def connected_components(
     max_iter: int = 30,
     strategy: str = "auto",
     local_threshold: int = 2_000_000,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Undirected CC → (curie, rep) with rep = min member of the component.
 
@@ -123,16 +124,27 @@ def connected_components(
         e.select(F.col("dst").alias("curie"))
     ).distinct()
 
+    import time
+
     cur = e.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     prev_fp = None
     converged = False
+    iter_secs: list[float] = []
+    iter_edges: list[int] = []
     for _ in range(max_iter):
+        t0 = time.time()
         cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
         fp = _fingerprint(cur)
+        iter_secs.append(round(time.time() - t0, 3))
+        iter_edges.append(fp[0])
         if fp == prev_fp:
             converged = True
             break
         prev_fp = fp
+    if stats is not None:
+        stats["iterations"] = len(iter_secs)
+        stats["iter_secs"] = iter_secs
+        stats["iter_edges"] = iter_edges
     if not converged:
         # a partially-contracted mapping is silently wrong — fail loudly
         raise RuntimeError(
@@ -197,17 +209,45 @@ def canonical_map(normalization: DataFrame, strategy: str = "auto") -> DataFrame
     return reps.join(meta_df, "rep").select("curie", "rep", "node_type", "name")
 
 
+def _broadcast_budget_bytes(spark) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (-1 → disabled)."""
+    raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
+    mult = 1
+    low = raw.lower().rstrip()
+    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+        if low.endswith(suf):
+            low = low[: -len(suf)]
+            mult = m
+            break
+    try:
+        return int(float(low) * mult)
+    except ValueError:
+        return 10 << 20
+
+
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's sizeInBytes estimate for a DataFrame (file-size based for
+    parquet-backed stages — exactly what the broadcast planner would see)."""
+    return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+
+
 def resolve_aliases(
     fact: DataFrame,
     rep_map: DataFrame,
     key: str,
     out: str = "rep",
-    strategy: str = "broadcast",
+    strategy: str = "auto",
     nsalt: int = 8,
     salt_source: Column | None = None,
 ) -> DataFrame:
     """Map fact[key] (a CURIE) to its canonical representative.
 
+    strategy='auto' (default): measure the rep map's Catalyst size estimate
+    at plan time and broadcast while it fits the session's
+    autoBroadcastJoinThreshold, else fall back to the salted shuffle — at
+    100 TB the alias map can outgrow the broadcast budget mid-pipeline and a
+    hard-coded hint would either OOM the driver or silently shuffle-join
+    with hub-key skew.
     strategy='broadcast': map-side join — the right call while the alias map
     is dimension-sized (no shuffle, no skew possible).
     strategy='salted': for when the map outgrows broadcast at 10^12-doc
@@ -215,6 +255,13 @@ def resolve_aliases(
     (hub entity) across salt buckets, so no single shuffle partition owns a
     hub (SURVEY.md §4 custom piece #1). AQE skew-join remains the backstop.
     """
+    if strategy == "auto":
+        budget = _broadcast_budget_bytes(fact.sparkSession)
+        strategy = (
+            "broadcast"
+            if budget > 0 and _plan_size_bytes(rep_map) <= budget
+            else "salted"
+        )
     mapped = rep_map.select(F.col("curie").alias("__alias"), F.col("rep").alias(out))
     if strategy == "broadcast":
         joined = fact.join(F.broadcast(mapped), fact[key] == F.col("__alias"), "left")

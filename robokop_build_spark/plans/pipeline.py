@@ -55,7 +55,9 @@ class PipelineConfig:
     # explicit repartition width after scan: at cluster scale set to
     # O(input bytes / 128MB); on local[N] a small multiple of cores
     doc_partitions: int | None = None
-    norm_join_strategy: str = "broadcast"  # 'salted' when map > broadcast budget
+    # 'auto' picks broadcast vs salted from the rep map's measured Catalyst
+    # size vs the session broadcast budget at plan time (canonicalize.py)
+    norm_join_strategy: str = "auto"
     nsalt: int = 8
     with_support: bool = True
     # supporter modules to run (reference -s flag, builder/builder.py:320-362);

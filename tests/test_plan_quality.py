@@ -39,15 +39,27 @@ def test_dimension_join_broadcasts(spark):
     assert "SortMergeJoin" not in plan
 
 
-def test_alias_resolution_broadcasts(spark):
+def test_alias_resolution_broadcasts(spark, tmp_path):
     from robokop_build_spark.operators.canonicalize import resolve_aliases
 
     rep_map = spark.createDataFrame([("a", "R")], ["curie", "rep"])
     fact = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
         F.col("source").alias("curie")
     )
-    plan = _plan(resolve_aliases(fact, rep_map, "curie"))
+    plan = _plan(resolve_aliases(fact, rep_map, "curie", strategy="broadcast"))
     assert "BroadcastHashJoin" in plan
+
+    # 'auto' (the pipeline default) broadcasts a parquet-backed map whose
+    # measured size fits the budget — but goes salted for an in-memory map
+    # with no size estimate (conservative: never broadcast what you can't
+    # size; Catalyst's default estimate for ExistingRDD is 'huge')
+    rep_map.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "rm"))
+    plan_auto = _plan(
+        resolve_aliases(fact, spark.read.parquet(str(tmp_path / "rm")), "curie")
+    )
+    assert "BroadcastHashJoin" in plan_auto
+    plan_unsized = _plan(resolve_aliases(fact, rep_map, "curie"))
+    assert "__salt" in plan_unsized
 
 
 def test_aggregation_has_partial_combine(spark):
