@@ -8,9 +8,13 @@ built deterministically from media_ref (the object-storage read stand-in),
 so the whole encode→binary→decode→feature path executes genuinely and is
 oracle-checked: the golden twin recomputes features straight from the pixel
 rule WITHOUT going through bytes, so a padding/header/row-order bug on
-either side of the codec breaks the hash compare. Formats without a stdlib
-codec (PNG/JPEG/audio) still raise NotImplementedError — swapping in
-PIL/ffmpeg touches exactly decode_media.
+either side of the codec breaks the hash compare. Round-4 upgrade: PNG joins the genuinely-decoded set — a real zlib IDAT
+encoder/decoder with per-row filter reconstruction (all five PNG filter
+types are exercised: the fixture encoder cycles None/Sub/Up/Average/Paeth).
+Image spans alternate BMP/PNG deterministically by ref, so both codecs face
+the same bytes-free golden. Formats that genuinely need external libs
+(JPEG/audio) still raise NotImplementedError — swapping in PIL/ffmpeg
+touches exactly decode_media.
 """
 
 from __future__ import annotations
@@ -76,6 +80,133 @@ def build_bmp(media_ref: str) -> bytes:
     return header + info + bytes(body)
 
 
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa_ <= pb and pa_ <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def build_png(media_ref: str) -> bytes:
+    """REAL 8-bit RGB PNG (zlib-compressed IDAT): rows are filter-encoded
+    cycling through all five PNG filter types (None/Sub/Up/Average/Paeth),
+    so the decoder's per-row filter reconstruction is genuinely exercised,
+    not just the filter-0 fast path. Same pixel rule as BMP (media_pixels),
+    so the bytes-free golden covers this codec for free."""
+    import zlib
+
+    w, h = media_dims(media_ref)
+    px = media_pixels(media_ref, w, h)
+    bpp = 3
+    row_bytes = w * bpp
+    raw = bytearray()
+    prior = bytes(row_bytes)
+    for r in range(h):
+        row = px[r * row_bytes : (r + 1) * row_bytes]
+        f = r % 5
+        raw.append(f)
+        for i in range(row_bytes):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = row[i]
+            elif f == 1:
+                v = row[i] - left
+            elif f == 2:
+                v = row[i] - up
+            elif f == 3:
+                v = row[i] - ((left + up) >> 1)
+            else:
+                v = row[i] - _paeth(left, up, ul)
+            raw.append(v & 0xFF)
+        prior = row
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        import zlib as z
+
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", z.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit, RGB
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _decode_png(payload: bytes) -> np.ndarray:
+    """Stdlib PNG decode: chunk walk → IHDR validation → IDAT inflate →
+    per-row filter reconstruction (all five filter types). Returns
+    [w, h, *pixel bytes] (row-major top-down), same shape as the BMP path."""
+    import zlib
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or color != 2 or comp != 0 or filt != 0 or inter != 0:
+                raise NotImplementedError(
+                    f"only 8-bit non-interlaced RGB PNG supported "
+                    f"(depth={depth}, color={color}, interlace={inter})"
+                )
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    if w is None:
+        raise ValueError("PNG without IHDR")
+    raw = zlib.decompress(bytes(idat))
+    bpp = 3
+    row_bytes = w * bpp
+    if len(raw) != h * (1 + row_bytes):
+        raise ValueError("PNG pixel data has wrong length")
+    out = bytearray()
+    prior = bytes(row_bytes)
+    for r in range(h):
+        base = r * (1 + row_bytes)
+        f = raw[base]
+        enc = raw[base + 1 : base + 1 + row_bytes]
+        row = bytearray(row_bytes)
+        for i in range(row_bytes):
+            left = row[i - bpp] if i >= bpp else 0
+            up = prior[i]
+            ul = prior[i - bpp] if i >= bpp else 0
+            if f == 0:
+                v = enc[i]
+            elif f == 1:
+                v = enc[i] + left
+            elif f == 2:
+                v = enc[i] + up
+            elif f == 3:
+                v = enc[i] + ((left + up) >> 1)
+            elif f == 4:
+                v = enc[i] + _paeth(left, up, ul)
+            else:
+                raise ValueError(f"bad PNG filter type {f}")
+            row[i] = v & 0xFF
+        out += row
+        prior = bytes(row)
+    return np.concatenate([[w, h], np.frombuffer(bytes(out), np.uint8)]).astype(
+        np.float64
+    )
+
+
 def build_csv(media_ref: str) -> bytes:
     """Deterministic integer CSV table for 'table' media spans."""
     d = hashlib.md5(f"{media_ref}:dims".encode()).digest()
@@ -117,9 +248,11 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         vals = [int(v) for ln in lines for v in ln.split(",")]
         ncols = len(lines[0].split(",")) if lines else 0
         return np.asarray([ncols, len(lines)] + vals, dtype=np.float64)
+    if media_type == "image/png":
+        return _decode_png(bytes(payload))
     raise NotImplementedError(
         f"decode for {media_type!r} requires a codec library not present "
-        "in this environment (PIL/ffmpeg); plumb it in here"
+        "in this environment (JPEG/audio need PIL/ffmpeg); plumb it in here"
     )
 
 
@@ -148,8 +281,14 @@ def attach_media_payloads(spans: DataFrame) -> DataFrame:
             payloads, mtypes, ws, hs = [], [], [], []
             for kind, ref in zip(pdf["kind"], pdf["media_ref"]):
                 if kind == "image":
-                    payloads.append(build_bmp(ref))
-                    mtypes.append("image/bmp")
+                    # alternate codecs deterministically by ref so BOTH real
+                    # decode paths run against the same bytes-free golden
+                    if hashlib.md5(ref.encode()).digest()[0] & 1:
+                        payloads.append(build_png(ref))
+                        mtypes.append("image/png")
+                    else:
+                        payloads.append(build_bmp(ref))
+                        mtypes.append("image/bmp")
                     w, h = media_dims(ref)
                 else:
                     payloads.append(build_csv(ref))

@@ -18,7 +18,9 @@ from robokop_build_spark.sources.readers import read_fixture
 
 
 def test_decode_raises_for_codec_less_formats():
-    with pytest.raises(NotImplementedError):
+    # PNG is genuinely decoded since round 4; garbage bytes are a
+    # ValueError there, and only lib-requiring formats stay NotImplemented
+    with pytest.raises(ValueError):
         decode_media(b"\x00\x01", "image/png")
     with pytest.raises(NotImplementedError):
         decode_media(b"\x00\x01", "audio/mpeg")
@@ -54,7 +56,7 @@ def test_media_plumbing_end_to_end(spark, fixture_dir):
     rows = media.limit(5).collect()
     assert rows, "fixtures must contain media spans"
     for r in rows:
-        assert r["media_type"] in ("image/bmp", "text/csv")
+        assert r["media_type"] in ("image/bmp", "image/png", "text/csv")
         assert isinstance(r["payload"], (bytes, bytearray))
         if r["media_type"] == "image/bmp":
             assert bytes(r["payload"][:2]) == b"BM"
@@ -78,3 +80,43 @@ def test_media_features_deterministic(spark, fixture_dir):
         for r in extract_media_features(media.repartition(4)).collect()
     }
     assert a == b
+
+
+def test_png_roundtrip_all_filter_types():
+    """build_png cycles all five PNG filter types across rows; the decoder
+    must reconstruct the exact pixel-rule bytes through zlib + unfiltering
+    for many refs (heights 3..6 guarantee filters 0-4 all appear)."""
+    import numpy as np
+
+    from robokop_build_spark.operators.multimodal import (
+        build_png,
+        decode_media,
+        media_dims,
+        media_pixels,
+    )
+
+    seen_heights = set()
+    for i in range(40):
+        ref = f"media://img{i}"
+        w, h = media_dims(ref)
+        seen_heights.add(h)
+        dec = decode_media(build_png(ref), "image/png")
+        want = np.concatenate(
+            [[w, h], np.frombuffer(media_pixels(ref, w, h), np.uint8)]
+        ).astype(float)
+        assert np.array_equal(dec, want), ref
+    assert 6 in seen_heights  # at least one image used filter type 4 (Paeth)
+
+
+def test_png_decoder_rejects_unsupported():
+    import pytest
+
+    from robokop_build_spark.operators.multimodal import build_png, decode_media
+
+    with pytest.raises(ValueError):
+        decode_media(b"nope", "image/png")
+    # 16-bit depth IHDR → declared boundary
+    png = bytearray(build_png("media://x"))
+    png[8 + 8 + 8] = 16  # IHDR bit-depth byte
+    with pytest.raises(NotImplementedError):
+        decode_media(bytes(png), "image/png")
