@@ -74,7 +74,7 @@ def main() -> None:
     synthetic = not os.path.isdir(sf_dir) or os.path.exists(
         os.path.join(sf_dir, "_DRIVER_TABLES_DONE")
     )
-    if synthetic:
+    if synthetic and sf <= 8:
         from robokop_build_spark.datagen.driver_tables import (
             ensure_driver_tables,
         )
@@ -89,6 +89,15 @@ def main() -> None:
         shuffle_partitions=max(int(cpus), 16),
     )
     spark.sparkContext.setLogLevel("ERROR")
+
+    if synthetic and sf > 8:
+        # beyond SF=8 the single-core generator is the bottleneck; generate
+        # in parallel with Spark (SF=32 ≈ 1.6M docs in ~12s on local[32])
+        from robokop_build_spark.datagen.driver_tables import (
+            ensure_driver_tables_spark,
+        )
+
+        ensure_driver_tables_spark(spark, sf_dir, sf)
 
     from robokop_build_spark.plans.benchmark_queries import (
         QUERIES,

@@ -132,3 +132,84 @@ def ensure_driver_tables(out_dir: str, sf: float, seed: int = SEED) -> str:
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir
+
+
+def ensure_driver_tables_spark(
+    spark,
+    out_dir: str,
+    sf: float,
+    seed: int = SEED,
+    partitions: int | None = None,
+) -> str:
+    """Driver-shaped tables at big SF, generated IN PARALLEL with Spark:
+    spark.range over partition indices → mapInPandas, each task running the
+    same chunk generators (_gen_documents/_gen_embeddings) with a
+    per-partition rng seed and a doc_id offset. The driver-side loop in
+    ensure_driver_tables is fine to SF≈8 (400k docs); beyond that a single
+    core string-building 10^6+ documents is the bottleneck — this path
+    generates SF=32 (1.6M docs) in about a minute on local[32] and scales
+    with the cluster.
+
+    Deterministic for (sf, seed, partitions); dup/near-dup positive classes
+    are planted per partition chunk (same rates as the single-file path).
+    Output is a parquet DIRECTORY named documents.parquet/embeddings.parquet
+    (Spark-written part files) — spark.read.parquet handles both layouts,
+    so bench queries are layout-agnostic."""
+    import json
+
+    marker = os.path.join(out_dir, "_DRIVER_TABLES_DONE")
+    n_docs = max(100, int(50_000 * sf))
+    n_vecs = max(100, int(20_000 * sf))
+    if partitions is None:
+        partitions = max(16, min(512, n_docs // 50_000))
+    stamp = json.dumps(
+        {"gen": "spark", "v": DRIVER_TABLES_VERSION, "sf": sf, "seed": seed,
+         "partitions": partitions}
+    )
+    if os.path.exists(marker):
+        with open(marker) as f:
+            if f.read() == stamp:
+                return out_dir
+    os.makedirs(out_dir, exist_ok=True)
+
+    import pandas as pd
+
+    def doc_chunks(batches):
+        for pdf in batches:
+            for p in pdf["id"]:
+                p = int(p)
+                lo = n_docs * p // partitions
+                hi = n_docs * (p + 1) // partitions
+                rng = np.random.default_rng((seed, p))
+                cols = _gen_documents(hi - lo, rng)
+                out = cols_to_pandas(cols)
+                out["doc_id"] = out["doc_id"] + lo
+                yield out
+
+    def emb_chunks(batches):
+        for pdf in batches:
+            for p in pdf["id"]:
+                p = int(p)
+                lo = n_vecs * p // partitions
+                hi = n_vecs * (p + 1) // partitions
+                rng = np.random.default_rng((seed + 1, p))
+                cols = _gen_embeddings(hi - lo, rng)
+                out = cols_to_pandas(cols)
+                out["vec_id"] = out["vec_id"] + lo
+                yield out
+
+    def cols_to_pandas(cols):
+        return pd.DataFrame({k: v.to_pandas() for k, v in cols.items()})
+
+    parts = spark.range(partitions).repartition(partitions, "id")
+    docs_schema = "doc_id long, text string, lang string, source string, n_chars long"
+    emb_schema = "vec_id long, embedding array<float>, label int"
+    parts.mapInPandas(doc_chunks, schema=docs_schema).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "documents.parquet"))
+    parts.mapInPandas(emb_chunks, schema=emb_schema).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "embeddings.parquet"))
+    with open(marker, "w") as f:
+        f.write(stamp)
+    return out_dir

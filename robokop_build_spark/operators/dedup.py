@@ -117,6 +117,36 @@ def ngram_jaccard_pairs(
 MINHASH_PRIME = 4_294_967_311  # smallest prime > 2^32
 
 
+def auto_minhash_rows_per_band(
+    n_rows: int,
+    base_rows_per_band: int = 2,
+    base_corpus: int = 100_000,
+    growth: int = 32,
+) -> int:
+    """Rows-per-band r that scales with the corpus so background-similarity
+    collisions stay ~linear in n.
+
+    A FIXED r makes expected false-candidate volume grow quadratically:
+    pairs × P(band match) = C(n,2)·bands·s_bg^r with s_bg the background
+    (random-pair) Jaccard. Measured at SF=32 (1.6M synthetic docs,
+    r=2): 83.9M candidate pairs from ~16k true near-dups — the corpus
+    outgrew the band width, the same failure mode auto_signature_bits fixed
+    for hyperplane LSH in round 3. Raising r by 1 multiplies the background
+    rate by s_bg (≲1e-3 for natural corpora at near-dup thresholds) while
+    n² grows only ~10^3 per 32× corpus growth, so r += 1 per `growth`×
+    over `base_corpus` keeps candidates O(n). Recall trade: per-band match
+    probability for TRUE near-dups at similarity s is s^r — at s ≥ 0.8 and
+    8 bands, recall stays >0.97 even at r=5; tune bands upward if hunting
+    lower-similarity pairs at huge n."""
+    import math
+
+    if n_rows <= base_corpus:
+        return base_rows_per_band
+    return base_rows_per_band + math.ceil(
+        math.log(n_rows / base_corpus) / math.log(growth)
+    )
+
+
 def _affine_minhash(sh, num_hashes: int):
     """num_hashes MinHash values over a shingle array via the affine family
     g_i = (h1 + i·h2) mod p (Carter–Wegman 2-universal construction): ONE
@@ -171,13 +201,26 @@ def _shingle_arrays(
     )
 
 
+def _resolve_num_hashes(
+    docs: DataFrame, num_hashes: int | None, bands: int, n_rows: int | None
+) -> int:
+    """num_hashes=None → corpus-adaptive band width (auto_minhash_rows_per_band
+    × bands); n_rows from the caller avoids a count() job."""
+    if num_hashes is not None:
+        return num_hashes
+    if n_rows is None:
+        n_rows = docs.count()
+    return bands * auto_minhash_rows_per_band(n_rows)
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
     text_col: str = "text",
     k: int = 3,
-    num_hashes: int = 16,
+    num_hashes: int | None = 16,
     bands: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH — the scale path:
     cost is (docs × bands) rows hashed into buckets + an equi-join per
@@ -185,7 +228,10 @@ def minhash_lsh_pairs(
 
     bands of rows r = num_hashes/bands; band key = md5(concat of the band's
     slice). Pairs sharing ≥1 band key are candidates (dedup'd).
+    num_hashes=None picks r from the corpus size (auto_minhash_rows_per_band)
+    so candidate volume stays O(n) as the corpus grows.
     """
+    num_hashes = _resolve_num_hashes(docs, num_hashes, bands, n_rows)
     sh = _shingle_arrays(docs, id_col, text_col, k)
     return _lsh_candidate_pairs(sh, num_hashes, bands)
 
@@ -243,8 +289,9 @@ def lsh_verified_near_duplicates(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    num_hashes: int = 16,
+    num_hashes: int | None = 16,
     bands: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """EXACT word-k-gram Jaccard ≥ threshold, computed only on MinHash-LSH
     candidate pairs — the composition that retires ngram_jaccard_pairs'
@@ -266,6 +313,7 @@ def lsh_verified_near_duplicates(
     """
     from pyspark import StorageLevel
 
+    num_hashes = _resolve_num_hashes(docs, num_hashes, bands, n_rows)
     sh = _shingle_arrays(docs, id_col, text_col, k)
     # consumed twice (signature path + shingle-set verify side); persist so
     # the split/slice scan runs once. Registered for post-action release.

@@ -28,13 +28,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _parquet_num_rows(path: str) -> int | None:
-    """Exact row count from parquet footer metadata (no Spark job). Returns
-    None when the path isn't a single readable parquet file (caller falls
-    back to the operator's own estimate)."""
+    """Exact row count from parquet footer metadata (no Spark job) — single
+    files and Spark-written directories both. Returns None when unreadable
+    (caller falls back to the operator's own estimate)."""
     try:
         import pyarrow.parquet as pq
 
         return pq.ParquetFile(path).metadata.num_rows
+    except Exception:
+        pass
+    try:
+        import pyarrow.dataset as ds
+
+        return ds.dataset(path, format="parquet").count_rows()
     except Exception:
         return None
 
@@ -701,8 +707,17 @@ WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.1
 
 
 def dedup_minhash_lsh(spark, sf_dir):
+    """num_hashes=None → corpus-adaptive rows-per-band (r=2 ⇒ 16 hashes at
+    every driver-shipped scale, so the DuckDB twin below stays exact; r
+    grows automatically past ~100k docs to keep candidates O(n))."""
     return D.minhash_lsh_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, num_hashes=16, bands=8
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        num_hashes=None,
+        bands=8,
+        n_rows=_parquet_num_rows(os.path.join(sf_dir, "documents.parquet")),
     )
 
 
@@ -750,8 +765,9 @@ def dedup_neardup_verified(spark, sf_dir):
         "text",
         k=3,
         threshold=0.12,
-        num_hashes=16,
+        num_hashes=None,
         bands=8,
+        n_rows=_parquet_num_rows(os.path.join(sf_dir, "documents.parquet")),
     )
 
 

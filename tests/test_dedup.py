@@ -104,3 +104,16 @@ def test_lsh_verified_equals_exact_restricted_to_candidates(spark):
     # must be an LSH candidate at 8 bands × 2 rows on the fixture corpus
     high = {p for p, j in exact.items() if j >= 0.5}
     assert high <= set(got)
+
+
+def test_auto_minhash_rows_per_band_scaling():
+    """r stays at the base below the base corpus (so sf0.01-1.0 oracle
+    params are unchanged) and grows logarithmically past it."""
+    from robokop_build_spark.operators.dedup import auto_minhash_rows_per_band as r
+
+    assert r(500) == 2
+    assert r(50_000) == 2
+    assert r(100_000) == 2
+    assert r(1_600_000) == 3   # SF=32
+    assert r(100_000_000) == 4
+    assert r(3_200_000_000) == 5

@@ -138,3 +138,32 @@ def test_driver_tables_marker_param_mismatch_regenerates(tmp_path):
     ensure_driver_tables(d, 0.02, seed=7)
     t2 = pq.read_table(f"{d}/documents.parquet").column("text").to_pylist()
     assert t1 != t2
+
+
+def test_driver_tables_spark_generator(spark, tmp_path):
+    """The Spark-parallel generator must produce the driver schema, unique
+    sequential ids across partition chunks, planted dup classes, and be
+    deterministic for (sf, seed, partitions)."""
+    from robokop_build_spark.datagen.driver_tables import ensure_driver_tables_spark
+
+    d1 = ensure_driver_tables_spark(spark, str(tmp_path / "a"), 0.05, partitions=4)
+    docs = spark.read.parquet(f"{d1}/documents.parquet")
+    assert docs.columns == ["doc_id", "text", "lang", "source", "n_chars"]
+    n = docs.count()
+    assert n == 2500
+    assert docs.select("doc_id").distinct().count() == n
+    ids = [r[0] for r in docs.selectExpr("min(doc_id)", "max(doc_id)").collect()[0:1]]
+    assert docs.selectExpr("min(doc_id)").collect()[0][0] == 0
+    assert docs.selectExpr("max(doc_id)").collect()[0][0] == n - 1
+    assert docs.groupBy("text").count().filter("count > 1").count() > 0
+    emb = spark.read.parquet(f"{d1}/embeddings.parquet")
+    assert emb.columns == ["vec_id", "embedding", "label"]
+    assert emb.count() == 1000
+    # marker no-op, then determinism across dirs
+    assert ensure_driver_tables_spark(spark, str(tmp_path / "a"), 0.05, partitions=4) == d1
+    d2 = ensure_driver_tables_spark(spark, str(tmp_path / "b"), 0.05, partitions=4)
+    t1 = sorted(r["text"] for r in docs.collect())
+    t2 = sorted(
+        r["text"] for r in spark.read.parquet(f"{d2}/documents.parquet").collect()
+    )
+    assert t1 == t2

@@ -167,8 +167,15 @@ def test_lsh_self_joins_reuse_materialized_signatures(spark):
     (measured 2× the signature cost at SF=1 — AQE exchange reuse does not
     collapse the two sides). The plan must read both sides from the same
     InMemoryRelation."""
+    from robokop_build_spark.caching import release_operator_caches
     from robokop_build_spark.operators.dedup import minhash_lsh_pairs
     from robokop_build_spark.operators.similarity import embedding_near_duplicates
+
+    # earlier tests may have left cached signature subtrees; Spark's
+    # CacheManager would substitute them into THIS plan and skew the
+    # InMemoryTableScan count
+    release_operator_caches()
+    spark.catalog.clearCache()
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(minhash_lsh_pairs(docs, "doc_id", "text"))
