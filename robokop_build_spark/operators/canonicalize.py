@@ -231,6 +231,19 @@ def _plan_size_bytes(df: DataFrame) -> int:
     return int(str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
 
 
+def maybe_broadcast(df: DataFrame):
+    """F.broadcast(df) while the measured Catalyst size fits the session
+    broadcast budget; otherwise return df unhinted and let AQE pick the
+    strategy from runtime stats. For joins whose small side scales with the
+    ENTITY graph (rep metadata, equivalent-identifier sets, authority
+    labels): dimension-sized today, but at web scale they grow with the
+    ontology (10^7-10^8 reps) and a hard hint would OOM the driver."""
+    budget = _broadcast_budget_bytes(df.sparkSession)
+    if budget > 0 and _plan_size_bytes(df) <= budget:
+        return F.broadcast(df)
+    return df
+
+
 def resolve_aliases(
     fact: DataFrame,
     rep_map: DataFrame,

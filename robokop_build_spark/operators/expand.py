@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from .canonicalize import maybe_broadcast
+
 from .canonicalize import resolve_aliases
 
 
@@ -482,7 +484,9 @@ def aggregate_triples(
     se = raw.select(*key, "orig_pred_id", "orig_pred_label", "start").distinct()
     inputs = (
         se.withColumnRenamed("start", "rep")
-        .join(F.broadcast(origins), "rep")
+        # origins carries one row per start rep with its doc-id array —
+        # entity-scale and fat at web size: budget-gated broadcast
+        .join(maybe_broadcast(origins), "rep")
         .groupBy(*key)
         .agg(
             F.concat_ws(

@@ -15,7 +15,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.canonicalize import canonical_map, resolve_aliases
+from ..operators.canonicalize import canonical_map, maybe_broadcast, resolve_aliases
 from ..operators.expand import (
     aggregate_program_triples,
     canonicalize_predicate_map,
@@ -170,7 +170,10 @@ class KGPipeline:
             # the component's metadata wins, as in reference synonymization
             meta = rep_map.select("rep", F.col("node_type").alias("rep_type")).distinct()
             return (
-                resolved.join(F.broadcast(meta), "rep", "left")
+                # rep-level metadata is entity-scale at web size: broadcast
+                # only while it fits the session budget (same policy as the
+                # alias-resolution join above it)
+                resolved.join(maybe_broadcast(meta), "rep", "left")
                 .select(
                     "doc_id",
                     "rep",

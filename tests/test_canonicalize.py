@@ -118,3 +118,31 @@ def test_resolve_aliases_auto_flips_strategy_without_output_change(spark, strate
         assert "__salt" not in plan
     else:
         assert "__salt" in plan  # salted path engaged under a tiny budget
+
+
+def test_maybe_broadcast_budget_gate(spark, strategy, tmp_path):
+    """maybe_broadcast hints only inside the session budget (parametrized
+    `strategy` reused as the budget axis)."""
+    from robokop_build_spark.operators.canonicalize import maybe_broadcast
+
+    spark.createDataFrame([("a", 1)], ["k", "v"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "t"))
+    small = spark.read.parquet(str(tmp_path / "t"))
+    fact = spark.createDataFrame([("a", i) for i in range(100)], ["k", "x"])
+    budget = "10MB" if strategy == "local" else "1b"
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", budget)
+    try:
+        plan = (
+            fact.join(maybe_broadcast(small), "k")
+            ._jdf.queryExecution()
+            .analyzed()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    if strategy == "local":
+        assert "ResolvedHint" in plan
+    else:
+        assert "ResolvedHint" not in plan
