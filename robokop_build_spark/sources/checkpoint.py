@@ -1,11 +1,26 @@
-"""Per-stage checkpointing for resumable runs.
+"""Per-stage checkpointing with snapshot isolation + time travel.
 
 Reference analog: the Redis memo cache (builder/builder.py:348-356) — here
-replaced by durable per-stage tables: a killed job relaunches and skips every
-stage whose completion marker exists (north_rule "resumable from
-checkpoint"). Parquet + atomic marker stands in for Iceberg snapshot commits
-in this offline sandbox; the contract (write-then-commit, idempotent re-run)
-is the same.
+replaced by durable per-stage tables with Iceberg's commit contract,
+implemented on plain parquet (the offline container has no Iceberg runtime
+jar; the semantics below are the part of the contract a query engine
+actually depends on):
+
+- **Immutable snapshots**: each commit writes a NEW directory
+  `<stage>/snap-<n>/` and never touches previous snapshots' files.
+- **Atomic metadata-pointer swap**: the commit point is one atomic
+  os.replace of `<stage>/_STAGE_COMMITTED`, whose JSON names the current
+  snapshot id + schema — exactly Iceberg's version-hint/metadata swap. A
+  reader that resolved the pointer before a re-commit keeps reading its
+  (untouched) snapshot: snapshot isolation without locks.
+- **Time travel**: `read(stage, snapshot_id=k)` / `snapshots(stage)` replay
+  any retained snapshot with its commit-time schema; `expire_snapshots`
+  is the retention sweep (never expires the current snapshot).
+- **Resumability**: a killed job relaunches and skips every stage whose
+  pointer exists (north_rule "resumable from checkpoint") — unchanged.
+
+Legacy layout (data files at the stage root, marker without a "snapshot"
+field) remains readable, so pre-existing workdirs resume as before.
 """
 
 from __future__ import annotations
@@ -17,6 +32,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 
 MARKER = "_STAGE_COMMITTED"
+HISTORY = "_snapshots.jsonl"
 
 
 class CheckpointManager:
@@ -31,47 +47,111 @@ class CheckpointManager:
     def is_done(self, stage: str) -> bool:
         return os.path.exists(os.path.join(self.path(stage), MARKER))
 
-    def read(self, stage: str) -> DataFrame:
-        """Read a committed stage. The schema recorded at commit time is
-        applied explicitly: an empty stage output writes zero part-files,
-        and schema inference over a fileless directory fails even though
-        the stage legitimately produced 0 rows (e.g. an end-bound query
-        with no matching paths)."""
-        p = self.path(stage)
-        marker = os.path.join(p, MARKER)
-        reader = self.spark.read
-        if os.path.exists(marker):
-            with open(marker) as f:
-                meta = json.load(f)
-            if "schema" in meta:
-                from pyspark.sql.types import StructType
+    def _pointer(self, stage: str) -> dict | None:
+        marker = os.path.join(self.path(stage), MARKER)
+        if not os.path.exists(marker):
+            return None
+        with open(marker) as f:
+            return json.load(f)
 
-                reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+    def snapshots(self, stage: str) -> list[dict]:
+        """Commit history, oldest first: [{snapshot, ts, wall_sec, ...}]."""
+        hist = os.path.join(self.path(stage), HISTORY)
+        if not os.path.exists(hist):
+            meta = self._pointer(stage)
+            return [meta] if meta else []
+        with open(hist) as f:
+            return [json.loads(ln) for ln in f if ln.strip()]
+
+    def _read_meta(self, stage: str, meta: dict) -> DataFrame:
+        p = self.path(stage)
+        if meta.get("snapshot") is not None:
+            p = os.path.join(p, f"snap-{meta['snapshot']}")
+            if not os.path.isdir(p):
+                raise FileNotFoundError(
+                    f"stage {meta['stage']!r} snapshot {meta['snapshot']} "
+                    "data expired (see expire_snapshots)"
+                )
+        reader = self.spark.read
+        if "schema" in meta:
+            # schema recorded at commit time, applied explicitly: an empty
+            # stage output writes zero part-files, and schema inference over
+            # a fileless directory fails even though the stage legitimately
+            # produced 0 rows (e.g. an end-bound query with no matches)
+            from pyspark.sql.types import StructType
+
+            reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
         return reader.parquet(p)
+
+    def read(self, stage: str, snapshot_id: int | None = None) -> DataFrame:
+        """Read a committed stage — the current snapshot by default, or any
+        retained snapshot by id (time travel, with that commit's schema)."""
+        if snapshot_id is None:
+            meta = self._pointer(stage)
+            if meta is None:
+                raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
+            return self._read_meta(stage, meta)
+        for meta in self.snapshots(stage):
+            if meta.get("snapshot") == snapshot_id:
+                return self._read_meta(stage, meta)
+        raise FileNotFoundError(
+            f"stage {stage!r} has no snapshot {snapshot_id} (expired or never committed)"
+        )
 
     def commit(
         self, stage: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> DataFrame:
-        """Write stage output, then atomically drop the completion marker
-        (commit point). Returns the re-read DataFrame so downstream stages
-        consume the materialized table (cuts lineage like an Iceberg
-        snapshot would)."""
+        """Write stage output as a NEW immutable snapshot, then atomically
+        swap the pointer (commit point). Returns the re-read DataFrame so
+        downstream stages consume the materialized table (cuts lineage like
+        an Iceberg snapshot would). Concurrent readers of the previous
+        snapshot are unaffected — its files are never rewritten."""
         p = self.path(stage)
+        os.makedirs(p, exist_ok=True)
+        prev = self._pointer(stage)
+        snap = (prev.get("snapshot", -1) if prev else -1) + 1
+        data_dir = os.path.join(p, f"snap-{snap}")
         t0 = time.time()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(p)
+        writer.parquet(data_dir)
         meta = {
             "stage": stage,
+            "snapshot": snap,
+            "ts": time.time(),
             "wall_sec": round(time.time() - t0, 3),
             "schema": df.schema.json(),
         }
+        with open(os.path.join(p, HISTORY), "a") as f:
+            f.write(json.dumps(meta) + "\n")
         tmp = os.path.join(p, MARKER + ".tmp")
         with open(tmp, "w") as f:
             json.dump(meta, f)
-        os.replace(tmp, os.path.join(p, MARKER))  # atomic commit
+        os.replace(tmp, os.path.join(p, MARKER))  # atomic pointer swap
         return self.read(stage)
+
+    def expire_snapshots(self, stage: str, keep_last: int = 1) -> int:
+        """Retention sweep: delete all but the newest keep_last snapshots'
+        data (the current snapshot is always kept). Returns count removed.
+        History rows are retained (tombstoned reads raise FileNotFoundError
+        — same observable behavior as an expired Iceberg snapshot)."""
+        import shutil
+
+        metas = [m for m in self.snapshots(stage) if m.get("snapshot") is not None]
+        cur = self._pointer(stage)
+        cur_id = cur.get("snapshot") if cur else None
+        keep = {m["snapshot"] for m in metas[-max(keep_last, 1):]}
+        if cur_id is not None:
+            keep.add(cur_id)
+        n = 0
+        for m in metas:
+            sid = m["snapshot"]
+            d = os.path.join(self.path(stage), f"snap-{sid}")
+            if sid not in keep and os.path.isdir(d):
+                shutil.rmtree(d)
+                n += 1
+        return n
 
     def run_stage(
         self,
@@ -81,7 +161,8 @@ class CheckpointManager:
         force: bool = False,
     ) -> DataFrame:
         """compute: () -> DataFrame; skipped entirely when already
-        committed (resume path)."""
+        committed (resume path). force=True re-computes into a NEW
+        snapshot (the previous one stays readable via time travel)."""
         if self.is_done(stage) and not force:
             return self.read(stage)
         return self.commit(stage, compute(), partition_by)

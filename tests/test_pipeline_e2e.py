@@ -84,8 +84,11 @@ def test_triples_partitioned_by_pred(pipeline_out):
     import os
 
     _, workdir = pipeline_out
+    # hive-style pred= dirs live inside the stage's current snapshot dir
+    stage = os.path.join(workdir, "triples")
+    snaps = sorted(d for d in os.listdir(stage) if d.startswith("snap-"))
     parts = [
-        d for d in os.listdir(os.path.join(workdir, "triples")) if d.startswith("pred=")
+        d for d in os.listdir(os.path.join(stage, snaps[-1])) if d.startswith("pred=")
     ]
     assert len(parts) >= 3  # hop1, hop2, support
 
