@@ -236,8 +236,10 @@ def minhash_lsh_pairs(
     return _lsh_candidate_pairs(sh, num_hashes, bands)
 
 
-def _lsh_candidate_pairs(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
-    """Banded-LSH candidate pairs from a (id, sh) shingle-array table."""
+def _banded_keys(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(id, band, bkey) banded-signature table from a (id, sh) shingle-array
+    table — the projection shared by the batch self-join and the streaming
+    stateful detector (parity by construction)."""
     if num_hashes % bands:
         # trailing signature components would be silently ignored, weakening
         # recall and desyncing from any oracle built over all hashes
@@ -266,6 +268,12 @@ def _lsh_candidate_pairs(sh: DataFrame, num_hashes: int, bands: int) -> DataFram
             )
         ).alias("bk"),
     ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
+    return banded
+
+
+def _lsh_candidate_pairs(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """Banded-LSH candidate pairs from a (id, sh) shingle-array table."""
+    banded = _banded_keys(sh, num_hashes, bands)
     # materialize the (id, band, bkey) table before the self-join: both
     # join sides otherwise recompute the full signature DAG (shingles +
     # md5 + affine probes — measured 43 s of a 95 s wall at SF=1, and AQE

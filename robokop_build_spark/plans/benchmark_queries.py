@@ -820,6 +820,52 @@ WHERE round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) >= 0.12
 """
 
 
+def streaming_minhash_dedup(spark, sf_dir):
+    """The applyInPandasWithState streaming LSH detector, drained with
+    Trigger.AvailableNow over the documents table staged as a file stream.
+    Distinct unordered candidate pairs must equal the BATCH banded
+    self-join — so the DuckDB twin is DEDUP_MINHASH_SQL itself: a full
+    oracle gate on a custom stateful streaming operator."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ..streaming.incremental import streaming_lsh_candidates
+
+    work = tempfile.mkdtemp(prefix="robokop_stream_lsh_")
+    try:
+        in_dir, out_dir, ck = (
+            os.path.join(work, d) for d in ("in", "out", "ck")
+        )
+        docs = _t(spark, sf_dir, "documents")
+        docs.write.mode("overwrite").parquet(in_dir)
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        q = (
+            streaming_lsh_candidates(stream, num_hashes=16, bands=8)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        a = F.col("id_a").cast("long")
+        b = F.col("id_b").cast("long")
+        out = (
+            spark.read.parquet(out_dir)
+            # string-ordered emission → renormalize to numeric (a < b), and
+            # collapse the per-bucket multiset to the distinct pair set
+            .select(F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b"))
+            .distinct()
+        )
+        rows = out.collect()
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return spark.createDataFrame(rows, "id_a long, id_b long")
+
+
 def dedup_simhash(spark, sf_dir):
     """SimHash near-pairs. Oracled: the DuckDB twin replays the banded
     Hamming join over a signature fixture computed by the scalar reference
@@ -997,6 +1043,7 @@ QUERIES = {
     "dedup_ngram_jaccard": dedup_ngram_jaccard,
     "dedup_minhash_lsh": dedup_minhash_lsh,
     "dedup_neardup_verified": dedup_neardup_verified,
+    "streaming_minhash_dedup": streaming_minhash_dedup,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
     "ann_embedding_neardup": ann_embedding_neardup,
@@ -1125,6 +1172,7 @@ ORACLES = {
     "dedup_ngram_jaccard": DEDUP_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_neardup_verified": DEDUP_VERIFIED_SQL,
+    "streaming_minhash_dedup": DEDUP_MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
     "text_langid": LANGID_SQL,
     "text_token_stats": TOKEN_SQL,

@@ -135,3 +135,71 @@ def test_dedup_stream_drops_replays(spark, tmp_path):
     kept = spark.read.parquet(out)
     hashes = [r["content_hash"] for r in kept.collect()]
     assert len(hashes) == 2 and len(set(hashes)) == 2  # one per distinct text
+
+
+def test_streaming_lsh_candidates_stateful_cross_batch(spark, tmp_path):
+    """The applyInPandasWithState LSH detector must (a) emit each candidate
+    pair exactly when its second member arrives, (b) carry per-bucket state
+    ACROSS availableNow drains via the checkpoint, and (c) reproduce the
+    batch self-join's candidate set (as unordered pairs)."""
+    from robokop_build_spark.operators.dedup import minhash_lsh_pairs
+    from robokop_build_spark.streaming.incremental import streaming_lsh_candidates
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet").cache()
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    os.makedirs(in_dir)
+
+    half = docs.filter("doc_id < 250")
+    rest = docs.filter("doc_id >= 250")
+
+    def drop(df, tag):
+        d = str(tmp_path / f"chunk_{tag}")
+        df.write.mode("overwrite").parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                shutil.copy(os.path.join(d, f), os.path.join(in_dir, f"{tag}_{f}"))
+
+    def drain():
+        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+        out = streaming_lsh_candidates(stream, num_hashes=16, bands=8)
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drop(half, "a")
+    drain()
+    got1 = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want1 = {
+        frozenset((str(r["id_a"]), str(r["id_b"])))
+        for r in minhash_lsh_pairs(half, num_hashes=16, bands=8).collect()
+    }
+    assert got1 == want1 and got1
+
+    drop(rest, "b")
+    drain()
+    got2 = {
+        frozenset((r["id_a"], r["id_b"]))
+        for r in spark.read.parquet(out_dir).collect()
+    }
+    want2 = {
+        frozenset((str(r["id_a"]), str(r["id_b"])))
+        for r in minhash_lsh_pairs(docs, num_hashes=16, bands=8).collect()
+    }
+    assert got2 == want2
+    # cross-batch pairs exist: state genuinely survived the first drain
+    cross = {
+        p for p in got2
+        if len({int(x) < 250 for x in p}) == 2
+    }
+    assert cross
