@@ -170,6 +170,11 @@ def ensure_driver_tables_spark(
         with open(marker) as f:
             if f.read() == stamp:
                 return out_dir
+        # stale params: drop the old marker BEFORE the (long) parallel
+        # overwrite — a crash mid-regeneration must not leave a marker that
+        # lets the old params silently match partial data (same contract as
+        # the single-core twin above)
+        os.remove(marker)
     os.makedirs(out_dir, exist_ok=True)
 
     import pandas as pd

@@ -213,8 +213,14 @@ def _broadcast_budget_bytes(spark) -> int:
     """The session's autoBroadcastJoinThreshold in bytes (-1 → disabled)."""
     raw = str(spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760"))
     mult = 1
-    low = raw.lower().rstrip()
-    for suf, m in (("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("b", 1)):
+    low = raw.lower().strip()
+    # Spark accepts both '10m' and '10mb' (ditto k/g/t); parse all forms —
+    # a silent fallback here would mis-gate every auto-broadcast decision
+    for suf, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
         if low.endswith(suf):
             low = low[: -len(suf)]
             mult = m

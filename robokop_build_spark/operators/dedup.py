@@ -151,10 +151,11 @@ def _affine_minhash(sh, num_hashes: int):
     """num_hashes MinHash values over a shingle array via the affine family
     g_i = (h1 + i·h2) mod p (Carter–Wegman 2-universal construction): ONE
     md5 per shingle (split into two 32-bit halves) instead of num_hashes
-    md5s — measured ~2× cheaper at 16 hashes. h1,h2 < 2^32 and i ≤ 15 keep
-    h1 + i·h2 < 2^37, so the arithmetic never overflows int64 and is
-    reproducible bit-for-bit in any engine (the DuckDB oracle runs the
-    identical expression)."""
+    md5s — measured ~2× cheaper at 16 hashes. h1,h2 < 2^32 keep
+    h1 + i·h2 < 2^32·(i+2), exact in int64 for any num_hashes below ~2^30
+    (adaptive banding reaches i≈40 at planetary corpus sizes — nowhere
+    near the bound), and reproducible bit-for-bit in any engine (the
+    DuckDB oracle runs the identical expression)."""
     digests = F.transform(sh, F.md5)  # one md5 per shingle
     halves = F.transform(
         digests,

@@ -14,9 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .canonicalize import maybe_broadcast
-
-from .canonicalize import resolve_aliases
+from .canonicalize import maybe_broadcast, resolve_aliases
 
 
 def input_filter(frontier: DataFrame, node_type: str) -> DataFrame:

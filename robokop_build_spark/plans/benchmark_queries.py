@@ -709,7 +709,13 @@ WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.1
 def dedup_minhash_lsh(spark, sf_dir):
     """num_hashes=None → corpus-adaptive rows-per-band (r=2 ⇒ 16 hashes at
     every driver-shipped scale, so the DuckDB twin below stays exact; r
-    grows automatically past ~100k docs to keep candidates O(n))."""
+    grows automatically past ~100k docs to keep candidates O(n)).
+
+    ORACLE SCOPE: DEDUP_MINHASH_SQL / DEDUP_VERIFIED_SQL hard-code the
+    r=2/16-hash family, so the hash-compare is only meaningful for corpora
+    ≤100k docs (the driver compares at sf0.01 ≈ 500). Above that the Spark
+    side intentionally widens bands — a mismatch there is the adaptive
+    design working, not an operator bug."""
     return D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
@@ -854,7 +860,9 @@ def streaming_minhash_dedup(spark, sf_dir):
         a = F.col("id_a").cast("long")
         b = F.col("id_b").cast("long")
         out = (
-            spark.read.parquet(out_dir)
+            # explicit schema: a corpus with zero candidate pairs writes no
+            # part files and schema inference over the bare sink dir fails
+            spark.read.schema("id_a string, id_b string").parquet(out_dir)
             # string-ordered emission → renormalize to numeric (a < b), and
             # collapse the per-bucket multiset to the distinct pair set
             .select(F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b"))

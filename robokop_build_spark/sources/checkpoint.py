@@ -91,7 +91,9 @@ class CheckpointManager:
             if meta is None:
                 raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
             return self._read_meta(stage, meta)
-        for meta in self.snapshots(stage):
+        # newest-first so a duplicate id (orphaned pre-crash history row)
+        # resolves to the row whose schema matches the surviving data
+        for meta in reversed(self.snapshots(stage)):
             if meta.get("snapshot") == snapshot_id:
                 return self._read_meta(stage, meta)
         raise FileNotFoundError(
@@ -108,8 +110,17 @@ class CheckpointManager:
         snapshot are unaffected — its files are never rewritten."""
         p = self.path(stage)
         os.makedirs(p, exist_ok=True)
+        # allocate past BOTH the pointer and any orphaned history rows: a
+        # crash after the history append but before the pointer swap must
+        # not reuse (and half-overwrite) the orphan's snapshot id
         prev = self._pointer(stage)
-        snap = (prev.get("snapshot", -1) if prev else -1) + 1
+        ids = [prev.get("snapshot", -1) if prev else -1]
+        ids += [
+            m.get("snapshot", -1)
+            for m in self.snapshots(stage)
+            if m is not None
+        ]
+        snap = max((i for i in ids if i is not None), default=-1) + 1
         data_dir = os.path.join(p, f"snap-{snap}")
         t0 = time.time()
         writer = df.write.mode("overwrite")

@@ -88,3 +88,34 @@ def test_empty_stage_snapshot_roundtrip(spark, ckpt):
     ckpt.commit("e", empty)
     out = ckpt.read("e")
     assert out.count() == 0 and out.columns == ["x"]
+
+
+def test_orphaned_history_row_never_reused(spark, ckpt):
+    """Crash window: history row appended but pointer swap never happened.
+    The next commit must allocate PAST the orphan's id (never half-
+    overwrite it), and time travel to a duplicated id resolves newest-first."""
+    import json as _json
+
+    ckpt.commit("s", _df(spark, [1]))  # snap-0, pointer → 0
+    # simulate the crashed commit: orphan history row for snap-1, no pointer
+    with open(os.path.join(ckpt.path("s"), "_snapshots.jsonl"), "a") as f:
+        f.write(_json.dumps({"stage": "s", "snapshot": 1, "ts": 0}) + "\n")
+    ckpt.commit("s", _df(spark, [2]))  # must become snap-2, not reuse 1
+    assert ckpt._pointer("s")["snapshot"] == 2
+    assert [r["x"] for r in ckpt.read("s").collect()] == [2]
+    assert [r["x"] for r in ckpt.read("s", snapshot_id=0).collect()] == [1]
+
+
+def test_broadcast_budget_suffix_parsing(spark):
+    from robokop_build_spark.operators.canonicalize import _broadcast_budget_bytes
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for raw, want in [
+            ("10485760", 10 << 20), ("10MB", 10 << 20), ("10m", 10 << 20),
+            ("512k", 512 << 10), ("1g", 1 << 30), ("-1", -1),
+        ]:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", raw)
+            assert _broadcast_budget_bytes(spark) == want, raw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
