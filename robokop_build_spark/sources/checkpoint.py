@@ -55,13 +55,28 @@ class CheckpointManager:
             return json.load(f)
 
     def snapshots(self, stage: str) -> list[dict]:
-        """Commit history, oldest first: [{snapshot, ts, wall_sec, ...}]."""
+        """Commit history, oldest first: [{snapshot, ts, wall_sec, ...}].
+
+        Torn trailing lines are SKIPPED, not fatal: the history append is a
+        plain write (only the pointer swap is the atomic commit point), so a
+        crash mid-append leaves a half-written JSON line. Raising there would
+        make the stage permanently unwritable — commit() calls this to
+        allocate the next id — for a crash the commit contract explicitly
+        tolerates (the torn row's snapshot never became current)."""
         hist = os.path.join(self.path(stage), HISTORY)
         if not os.path.exists(hist):
             meta = self._pointer(stage)
             return [meta] if meta else []
+        out = []
         with open(hist) as f:
-            return [json.loads(ln) for ln in f if ln.strip()]
+            for ln in f:
+                if not ln.strip():
+                    continue
+                try:
+                    out.append(json.loads(ln))
+                except json.JSONDecodeError:
+                    continue  # torn mid-append row (crash window)
+        return out
 
     def _read_meta(self, stage: str, meta: dict) -> DataFrame:
         p = self.path(stage)
@@ -100,6 +115,58 @@ class CheckpointManager:
             f"stage {stage!r} has no snapshot {snapshot_id} (expired or never committed)"
         )
 
+    def _migrate_legacy(self, stage: str) -> None:
+        """Upgrade a legacy-layout stage (data part-files at the stage root,
+        pointer without a "snapshot" field) in place: move the root data
+        files into snap-0 and rewrite the pointer/history to name it.
+
+        Without this, the first re-commit over a legacy stage writes
+        snap-1/ UNDER a root that still holds the legacy part-files — a
+        reader resolving the legacy pointer then lists data files both at
+        the root and in a non-partition subdirectory (partition discovery
+        fails / double-reads), and the superseded legacy files would never
+        be expired. After migration the stage is a normal snapshot stage:
+        snapshot-isolated re-commits and expire_snapshots both apply."""
+        p = self.path(stage)
+        prev = self._pointer(stage)
+        if prev is None or prev.get("snapshot") is not None:
+            return  # no pointer, or already snapshot layout
+        snap_dir = os.path.join(p, "snap-0")
+        os.makedirs(snap_dir, exist_ok=True)
+        for name in os.listdir(p):
+            full = os.path.join(p, name)
+            if name.startswith("snap-") or name in (MARKER, HISTORY):
+                continue
+            if os.path.isfile(full) or os.path.isdir(full):  # part files,
+                os.replace(full, os.path.join(snap_dir, name))  # _SUCCESS,
+                # hive partition dirs (pred=...) all move wholesale
+        meta = dict(prev, snapshot=0, migrated_from="legacy-root-layout")
+        with open(os.path.join(p, HISTORY), "a") as f:
+            f.write(json.dumps(meta) + "\n")
+        tmp = os.path.join(p, MARKER + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(p, MARKER))
+
+    @staticmethod
+    def _manifest_stats(data_dir: str) -> dict:
+        """Iceberg-manifest-style per-snapshot stats from the written files'
+        parquet footers (metadata-only reads — no data scan, no Spark job):
+        file count, total bytes, exact row count. Recorded in the commit
+        marker so snapshots() doubles as a lineage/size audit surface."""
+        import pyarrow.parquet as pq
+
+        n_files = n_rows = n_bytes = 0
+        for root, _dirs, files in os.walk(data_dir):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, fn)
+                n_files += 1
+                n_bytes += os.path.getsize(full)
+                n_rows += pq.ParquetFile(full).metadata.num_rows
+        return {"n_files": n_files, "n_rows": n_rows, "total_bytes": n_bytes}
+
     def commit(
         self, stage: str, df: DataFrame, partition_by: list[str] | None = None
     ) -> DataFrame:
@@ -110,9 +177,11 @@ class CheckpointManager:
         snapshot are unaffected — its files are never rewritten."""
         p = self.path(stage)
         os.makedirs(p, exist_ok=True)
-        # allocate past BOTH the pointer and any orphaned history rows: a
-        # crash after the history append but before the pointer swap must
-        # not reuse (and half-overwrite) the orphan's snapshot id
+        self._migrate_legacy(stage)
+        # allocate past the pointer, any orphaned history rows, AND any
+        # snap-* directory on disk: a crash after the data write but before
+        # the history append leaves a dir no metadata names — reusing its id
+        # would half-overwrite it
         prev = self._pointer(stage)
         ids = [prev.get("snapshot", -1) if prev else -1]
         ids += [
@@ -120,6 +189,9 @@ class CheckpointManager:
             for m in self.snapshots(stage)
             if m is not None
         ]
+        for name in os.listdir(p):
+            if name.startswith("snap-") and name[5:].isdigit():
+                ids.append(int(name[5:]))
         snap = max((i for i in ids if i is not None), default=-1) + 1
         data_dir = os.path.join(p, f"snap-{snap}")
         t0 = time.time()
@@ -133,6 +205,7 @@ class CheckpointManager:
             "ts": time.time(),
             "wall_sec": round(time.time() - t0, 3),
             "schema": df.schema.json(),
+            **self._manifest_stats(data_dir),
         }
         with open(os.path.join(p, HISTORY), "a") as f:
             f.write(json.dumps(meta) + "\n")

@@ -106,6 +106,69 @@ def test_orphaned_history_row_never_reused(spark, ckpt):
     assert [r["x"] for r in ckpt.read("s", snapshot_id=0).collect()] == [1]
 
 
+def test_torn_history_line_is_skipped_not_fatal(spark, ckpt):
+    """Crash mid-append to _snapshots.jsonl leaves a half-written trailing
+    line. snapshots() must skip it (not raise JSONDecodeError), and the next
+    commit must still allocate a fresh id — the stage stays writable."""
+    ckpt.commit("s", _df(spark, [1]))
+    with open(os.path.join(ckpt.path("s"), "_snapshots.jsonl"), "a") as f:
+        f.write('{"stage": "s", "snapshot": 1, "ts"')  # torn mid-append
+    assert [m["snapshot"] for m in ckpt.snapshots("s")] == [0]
+    ckpt.commit("s", _df(spark, [2]))  # must not raise, must not reuse ids
+    assert ckpt._pointer("s")["snapshot"] >= 1
+    assert [r["x"] for r in ckpt.read("s").collect()] == [2]
+
+
+def test_unnamed_snap_dir_never_half_overwritten(spark, ckpt):
+    """Crash between data write and history append: a snap dir exists that
+    no metadata names. The next commit must allocate past it."""
+    ckpt.commit("s", _df(spark, [1]))  # snap-0
+    orphan = os.path.join(ckpt.path("s"), "snap-1")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part-orphan.parquet"), "wb") as f:
+        f.write(b"not really parquet")
+    ckpt.commit("s", _df(spark, [2]))
+    assert ckpt._pointer("s")["snapshot"] == 2
+    # orphan dir untouched
+    assert os.path.exists(os.path.join(orphan, "part-orphan.parquet"))
+
+
+def test_legacy_layout_migrates_on_first_recommit(spark, ckpt):
+    """Re-committing over a legacy-root-layout stage must first migrate the
+    legacy part-files into snap-0: afterwards no data file sits at the stage
+    root, the old data stays time-travelable as snapshot 0, and
+    expire_snapshots can reclaim it."""
+    df = _df(spark, [5, 6])
+    p = ckpt.path("legacy")
+    df.write.mode("overwrite").parquet(p)
+    with open(os.path.join(p, MARKER), "w") as f:
+        json.dump({"stage": "legacy", "schema": df.schema.json()}, f)
+    ckpt.commit("legacy", _df(spark, [7]))  # snap-1 after migration
+    root_files = [
+        n for n in os.listdir(p)
+        if not n.startswith("snap-") and n not in (MARKER, "_snapshots.jsonl")
+    ]
+    assert root_files == [], root_files  # no stray legacy data at the root
+    assert [r["x"] for r in ckpt.read("legacy").collect()] == [7]
+    assert sorted(
+        r["x"] for r in ckpt.read("legacy", snapshot_id=0).collect()
+    ) == [5, 6]
+    # retention now reclaims the superseded legacy files too
+    assert ckpt.expire_snapshots("legacy", keep_last=1) == 1
+    assert not os.path.isdir(os.path.join(p, "snap-0"))
+
+
+def test_manifest_stats_in_commit_marker(spark, ckpt):
+    """Every commit records manifest-style stats (file/row/byte counts from
+    the parquet footers) so snapshots() doubles as a lineage/size audit."""
+    ckpt.commit("s", _df(spark, [1, 2, 3]))
+    (meta,) = ckpt.snapshots("s")
+    assert meta["n_rows"] == 3
+    assert meta["n_files"] >= 1
+    assert meta["total_bytes"] > 0
+    assert ckpt._pointer("s")["n_rows"] == 3
+
+
 def test_broadcast_budget_suffix_parsing(spark):
     from robokop_build_spark.operators.canonicalize import _broadcast_budget_bytes
 
