@@ -183,7 +183,18 @@ class KGPipeline:
                 .distinct()
             )
 
-        doc_entities = ckpt.run_stage("doc_entities", _doc_entities)
+        # NOT a commit point: doc_entities is re-derivable in one narrow
+        # join from the two committed frontier stages above it, so paying a
+        # full parquet write+read-back cycle here only taxed the fixed
+        # floor. localCheckpoint (eager) materializes it once and truncates
+        # lineage to a LogicalRDD — every downstream consumer (one scan per
+        # program + the metrics rollup) then carries a leaf-sized plan
+        # instead of re-embedding the salted-join subtree (plain persist was
+        # measured SLOWER fresh-JVM: the re-analyzed subtrees grow
+        # optimization + codegen time past what the skipped commits saved).
+        # Durability is unaffected: on executor loss past the block's
+        # lifetime the job restarts from the committed frontier.
+        doc_entities = _doc_entities().localCheckpoint(eager=True)
 
         # --- compile the query into concrete programs (driver-side, over
         # the type-level metagraph = distinct (src,dst) pairs — dimension) --
@@ -223,10 +234,12 @@ class KGPipeline:
                 start_reps=start_reps,
             )
 
-        # two commit points: the support stage derives graph_nodes from the
-        # expansion triples AND unions them back — materializing the base
-        # once means the expand DAG runs exactly once
-        triples_base = ckpt.run_stage(f"triples_base{qk}", _triples_base)
+        # materialized (localCheckpoint, NOT a checkpoint commit): the
+        # support stage derives graph_nodes from the expansion triples AND
+        # unions them back, so without materialization the expand DAG would
+        # run twice — but durability belongs to the triples{qk} frontier
+        # commit just below; a second parquet round-trip here was pure floor
+        triples_base = _triples_base().localCheckpoint(eager=True)
 
         def _triples() -> DataFrame:
             from ..operators.supporters import get_supporter
@@ -299,7 +312,10 @@ class KGPipeline:
                 .unionByName(stage_metrics(nodes, "nodes", by="node_type"))
             )
 
-        metrics = ckpt.run_stage(f"metrics{qk}", _metrics)
+        # lazy, uncommitted: a dimension-sized rollup over tables that are
+        # either committed (mentions/triples/nodes) or persisted — computed
+        # only when a consumer actually collects it
+        metrics = _metrics()
 
         return {
             "mentions": mentions,

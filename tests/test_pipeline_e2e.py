@@ -113,9 +113,12 @@ def test_resume_skips_completed_stages_and_is_identical(
 
     _, workdir = pipeline_out
     before = os.path.getmtime(os.path.join(workdir, "mentions", "_STAGE_COMMITTED"))
-    # simulate a crash between 'triples' and 'nodes'
-    for stage in ("nodes", "metrics"):
-        shutil.rmtree(os.path.join(workdir, stage))
+    # simulate a crash between 'triples' and 'nodes' (nodes is the last
+    # committed frontier stage; doc_entities/triples_base/metrics flow
+    # uncommitted and are always recomputed from the committed frontier)
+    shutil.rmtree(os.path.join(workdir, "nodes"))
+    assert not os.path.exists(os.path.join(workdir, "doc_entities"))
+    assert not os.path.exists(os.path.join(workdir, "metrics"))
     out2 = run_pipeline(spark, fixture_dir, workdir)
     after = os.path.getmtime(os.path.join(workdir, "mentions", "_STAGE_COMMITTED"))
     assert before == after  # mentions stage skipped on resume
