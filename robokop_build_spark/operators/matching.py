@@ -132,21 +132,24 @@ class _BatchScan:
       PYTHON over the uniques (str.lower), not an Arrow kernel, so case
       mapping is bit-identical to the scalar detect() the oracle replays
       (utf8proc and CPython disagree on locale-special codepoints);
-    - Python touches only surface-START positions (the scan's inner loop
-      is >90% misses in a natural corpus), with numpy arrays pre-subset to
-      those positions and converted to Python lists (list indexing is ~5×
-      numpy scalar indexing inside a hot loop);
-    - the greedy probe depth is capped by trie.start_maxlen[first token],
-      so 1-word surfaces never pay the 3- and 2-gram join attempts;
-    - emitted surface strings are built from the per-unique Python strings
-      (uniq_py[code]), so even the emit path allocates no new token
-      strings for 1-gram matches (the overwhelmingly common case).
+    - the 2-/3-gram dictionary probes run as ONE vectorized hash lookup per
+      k (multi-word surfaces encoded as int64 keys over the batch's code
+      space, probed with pd.Index.get_indexer at every eligible start
+      position) — no per-position Python dict gets;
+    - greedy suppression is sequential ONLY over multi-gram HITS (1-gram
+      matches consume just their own token and cannot shadow anything);
+      the positions inside accepted windows are cleared with one np.isin;
+    - emitted surface strings are built column-at-a-time: per-unique Python
+      strings (uniq_py[code]) for 1-gram matches, one Arrow
+      binary_join_element_wise per k-group for multi-gram matches;
+    - per-mention candidate resolution (_link_batch) gathers through
+      m_gid — once per DISTINCT matched surface, not per mention.
     """
 
     __slots__ = (
         "codes", "counts", "row_first",
         "uniq_lower",
-        "m_row", "m_start", "m_surface", "m_cands",
+        "m_row", "m_start", "m_surface", "m_cands", "m_gid",
     )
 
     def __init__(self, texts, trie: Trie):
@@ -165,6 +168,12 @@ class _BatchScan:
         self.m_start: list[int] = []
         self.m_surface: list[str] = []
         self.m_cands: list[tuple] = []
+        # per-mention SURFACE id (same gid ⇒ same candidate tuple): the
+        # lowercase token code for 1-gram matches, an offset-shifted index
+        # into the multi-surface tables for 2/3-grams. Lets _link_batch
+        # resolve candidates once per DISTINCT matched surface (≤ lexicon
+        # size) and numpy-gather, instead of a per-mention Python loop.
+        self.m_gid = np.empty(0, np.int64)
         if len(texts) == 0:
             self.codes = np.empty(0, np.int64)
             self.counts = np.empty(0, np.int64)
@@ -216,16 +225,28 @@ class _BatchScan:
             tuple(c) if (c := surfaces.get(u)) is not None else None
             for u in uniq_list
         ]
-        # multi-word surfaces compiled to CODE TUPLES for this batch's
-        # vocabulary: probes are integer-tuple dict gets — no gram strings
+        # multi-word surfaces compiled to ENCODED INT KEYS over this batch's
+        # code space: a 2-gram surface (c0,c1) becomes c0*V + c1, a 3-gram
+        # (c0*V + c1)*V + c2 — so the probe for EVERY start position in the
+        # batch is one vectorized hash lookup (pd.Index.get_indexer), not a
+        # per-position Python dict get
         assert MAX_NGRAM == 3
+        V = len(uniq_list)
         tok2code = {t: i for i, t in enumerate(uniq_list)}
-        surf2: dict[tuple, tuple] = {}
-        surf3: dict[tuple, tuple] = {}
+        k2_keys: list[int] = []
+        k2_cands: list[tuple] = []
+        k3_keys: list[int] = []
+        k3_cands: list[tuple] = []
         for stoks, cands in trie.multi_surfaces:
-            cs = tuple(tok2code.get(t, -1) for t in stoks)
-            if -1 not in cs:
-                (surf2 if len(cs) == 2 else surf3)[cs] = tuple(cands)
+            cs = [tok2code.get(t, -1) for t in stoks]
+            if -1 in cs:
+                continue  # some token absent from the batch: cannot match
+            if len(cs) == 2:
+                k2_keys.append(cs[0] * V + cs[1])
+                k2_cands.append(tuple(cands))
+            else:
+                k3_keys.append((cs[0] * V + cs[1]) * V + cs[2])
+                k3_cands.append(tuple(cands))
 
         # char offset of each token within its row (cumsum of len+1 rebased
         # per row) — materialized only at start positions. utf8_length
@@ -233,59 +254,139 @@ class _BatchScan:
         ulen = pc.utf8_length(uniq_arr).to_numpy().astype(np.int64)
         lens_plus = ulen[codes] + 1
         gcum = np.concatenate(([0], np.cumsum(lens_plus)[:-1]))
-        sp_rows = np.searchsorted(row_end_a, start_pos, side="right")
-        off_s = (gcum[start_pos] - gcum[self.row_first[sp_rows]]).tolist()
-        end_s = row_end_a[sp_rows].tolist()
-        row_s = sp_rows.tolist()
-        sp = start_pos.tolist()
-        codes_l = lcodes.tolist()
-        codes_o = codes.tolist()  # original-case codes, for surface strings
+        sp = start_pos
+        sp_rows = np.searchsorted(row_end_a, sp, side="right")
+        off_s = gcum[sp] - gcum[self.row_first[sp_rows]]
+        end_pos = row_end_a[sp_rows]
+        c0 = lcodes[sp]
+        ml_s = np.asarray(maxlen_l, np.int64)[c0]
+        avail = end_pos - sp
 
-        m_row, m_start = self.m_row, self.m_start
-        m_surface, m_cands = self.m_surface, self.m_cands
-        cur_row = -1
-        nxt = 0  # first unconsumed flat position within the current row
-        for j in range(len(sp)):
-            f = sp[j]
-            r = row_s[j]
-            if r != cur_row:
-                cur_row = r
-                nxt = f
-            elif f < nxt:
-                continue  # consumed by an earlier (longer) match
-            code = codes_l[f]
-            ml = maxlen_l[code]
-            if ml == 1:
-                # guaranteed single-token match: the only surface starting
-                # with this token is the token itself
-                m_row.append(r)
-                m_start.append(off_s[j])
-                m_surface.append(uniq_py[codes_o[f]])
-                m_cands.append(cands1_l[code])
-                nxt = f + 1
-                continue
-            avail = end_s[j] - f
-            cands = None
-            k = 1
-            if ml >= 3 and avail >= 3:
-                cands = surf3.get((code, codes_l[f + 1], codes_l[f + 2]))
-                k = 3
-            if cands is None and avail >= 2:
-                cands = surf2.get((code, codes_l[f + 1]))
-                k = 2
-            if cands is None:
-                cands = cands1_l[code]
-                k = 1
-            if cands is not None:
-                m_row.append(r)
-                m_start.append(off_s[j])
-                m_surface.append(
-                    uniq_py[codes_o[f]]
-                    if k == 1
-                    else " ".join(uniq_py[c] for c in codes_o[f : f + k])
+        # --- vectorized TENTATIVE probes (position-independent: exactly
+        # what the scalar greedy scan would compute at an unconsumed
+        # position) ------------------------------------------------------
+        k_arr = np.ones(len(sp), np.int64)
+        midx = np.full(len(sp), -1, np.int64)  # hit index into k?_cands
+        is3 = np.zeros(len(sp), bool)
+        valid = np.asarray(
+            [c is not None for c in cands1_l], bool
+        )[c0]  # 1-gram fallback: start token that is itself a surface
+        if k3_keys and V * V * V < (1 << 62):  # encoding exact in int64
+            m3 = (ml_s >= 3) & (avail >= 3)
+            if m3.any():
+                pos3 = sp[m3]
+                keys3 = (c0[m3] * V + lcodes[pos3 + 1]) * V + lcodes[pos3 + 2]
+                idx3 = pd.Index(np.asarray(k3_keys, np.int64)).get_indexer(keys3)
+                hit = idx3 >= 0
+                tgt = np.flatnonzero(m3)[hit]
+                k_arr[tgt] = 3
+                midx[tgt] = idx3[hit]
+                is3[tgt] = True
+                valid[tgt] = True
+        elif k3_keys:  # batch vocabulary too large to encode: dict probes
+            surf3 = {}
+            for key, cands in zip(k3_keys, k3_cands):
+                surf3[key] = cands  # keys are python ints (no overflow)
+            for j in np.flatnonzero((ml_s >= 3) & (avail >= 3)).tolist():
+                f = int(sp[j])
+                key = (int(c0[j]) * V + int(lcodes[f + 1])) * V + int(
+                    lcodes[f + 2]
                 )
-                m_cands.append(cands)
-                nxt = f + k
+                hit_c = surf3.get(key)
+                if hit_c is not None:
+                    k_arr[j] = 3
+                    midx[j] = len(k3_cands)
+                    k3_cands.append(hit_c)
+                    is3[j] = True
+                    valid[j] = True
+        if k2_keys:
+            m2 = (~is3) & (ml_s >= 2) & (avail >= 2)
+            if m2.any():
+                keys2 = c0[m2] * V + lcodes[sp[m2] + 1]
+                idx2 = pd.Index(np.asarray(k2_keys, np.int64)).get_indexer(keys2)
+                hit = idx2 >= 0
+                tgt = np.flatnonzero(m2)[hit]
+                k_arr[tgt] = 2
+                midx[tgt] = idx2[hit]
+                valid[tgt] = True
+
+        # --- greedy suppression: a k-gram match consumes [f, f+k), so later
+        # start positions inside it are skipped. 1-gram matches consume only
+        # their own token (start positions are distinct flat indices), so
+        # ONLY valid multi-gram matches can suppress anything. Two steps:
+        # (1) a sequential acceptance pass over just the multi-gram HITS
+        # (greedy chains: an accepted 3-gram can shadow the next multi hit,
+        # which then cannot shadow what follows), (2) one vectorized isin
+        # marking every start position inside an accepted window ------------
+        multi_hit = valid & (k_arr > 1)
+        if multi_hit.any():
+            mh = np.flatnonzero(multi_hit)
+            mh_f = sp[mh].tolist()
+            mh_row = sp_rows[mh].tolist()
+            mh_k = k_arr[mh].tolist()
+            acc_f: list[int] = []  # accepted window starts
+            acc_k: list[int] = []
+            cur_row = -1
+            nxt = 0
+            for t in range(len(mh_f)):
+                f = mh_f[t]
+                r = mh_row[t]
+                if r != cur_row:
+                    cur_row = r
+                elif f < nxt:
+                    valid[mh[t]] = False  # shadowed by an earlier window
+                    continue
+                nxt = f + mh_k[t]
+                acc_f.append(f)
+                acc_k.append(mh_k[t])
+            # windows never span rows (avail >= k), so shadowed flat
+            # positions can't leak into a neighboring row
+            af = np.asarray(acc_f, np.int64)
+            ak = np.asarray(acc_k, np.int64)
+            shadowed = np.concatenate([af + 1, (af + 2)[ak == 3]])
+            valid[np.isin(sp, shadowed)] = False
+
+        # --- emit, in position order, column-at-a-time --------------------
+        vm = np.flatnonzero(valid)
+        if len(vm) == 0:
+            return
+        self.m_row = sp_rows[vm].tolist()
+        self.m_start = off_s[vm].tolist()
+        codes_o_v = codes[sp[vm]].tolist()  # original case for surfaces
+        self.m_surface = [uniq_py[c] for c in codes_o_v]
+        c0_v = c0[vm]
+        gid = c0_v.copy()  # 1-gram gid = lowercase token code
+        self.m_cands = [cands1_l[c] for c in c0_v.tolist()]
+        k_v = k_arr[vm]
+        multi_pos = np.flatnonzero(k_v > 1)
+        if len(multi_pos):
+            # multi-gram surfaces joined as ARROW kernels per k-group (one
+            # binary_join_element_wise per k), never a per-mention " ".join
+            m_surface, m_cands = self.m_surface, self.m_cands
+            sp_v = sp[vm]
+            midx_v = midx[vm]
+            is3_v = is3[vm]
+            n2 = len(k2_cands)
+            gid[multi_pos] = np.where(
+                is3_v[multi_pos], V + n2 + midx_v[multi_pos],
+                V + midx_v[multi_pos],
+            )
+            for kk in (2, 3):
+                grp = multi_pos[k_v[multi_pos] == kk]
+                if not len(grp):
+                    continue
+                fg = sp_v[grp]
+                parts = [
+                    pc.take(uniq_arr, pa.array(codes[fg + d], pa.int64()))
+                    for d in range(kk)
+                ]
+                joined = pc.binary_join_element_wise(*parts, " ").to_pylist()
+                cand_tab = k3_cands if kk == 3 else k2_cands
+                mi = midx_v[grp].tolist()
+                for out_i, (t, s) in enumerate(zip(grp.tolist(), joined)):
+                    m_surface[t] = s
+                    m_cands[t] = cand_tab[mi[out_i]]
+        self.m_gid = gid
 
     def context_vectors(self, rows: list[int], dim: int = EMBED_DIM) -> np.ndarray:
         """featurize(texts[r]) for the requested rows, batch-vectorized:
@@ -339,32 +440,49 @@ def detect_batch(texts, trie: Trie) -> list[list[Mention]]:
 def _link_batch(scan: _BatchScan, emb_map):
     """Link every detected mention of a scan: unambiguous mentions resolve
     directly (score 0.0, the common case); ambiguous ones rerank against
-    ONE per-row context vector. Returns (curies, ntypes, scores)."""
+    ONE per-row context vector. Returns (curies, ntypes, scores).
+
+    Vectorized via scan.m_gid: candidates are inspected once per DISTINCT
+    matched surface (bounded by lexicon size, not mention count) and the
+    per-mention curie/node_type columns are numpy object-array gathers;
+    Python touches individual mentions only on the ambiguous rerank path."""
     n_m = len(scan.m_row)
-    curies: list[str] = [""] * n_m
-    ntypes: list[str] = [""] * n_m
     scores = np.zeros(n_m, np.float64)
-    amb: list[int] = []
-    for i, c in enumerate(scan.m_cands):
+    if n_m == 0:
+        return [], [], scores
+    gids, first_idx, inv = np.unique(
+        scan.m_gid, return_index=True, return_inverse=True
+    )
+    nu = len(gids)
+    curie_u = np.empty(nu, object)
+    ntype_u = np.empty(nu, object)
+    amb_u = np.zeros(nu, bool)
+    m_cands = scan.m_cands
+    for t in range(nu):  # once per distinct surface, not per mention
+        c = m_cands[first_idx[t]]
         if len(c) == 1:
-            c0 = c[0]
-            curies[i] = c0.curie
-            ntypes[i] = c0.node_type
+            curie_u[t] = c[0].curie
+            ntype_u[t] = c[0].node_type
         else:
-            amb.append(i)
-    if amb:
+            curie_u[t] = ""
+            ntype_u[t] = ""
+            amb_u[t] = True
+    curies = curie_u[inv]
+    ntypes = ntype_u[inv]
+    amb = np.flatnonzero(amb_u[inv])
+    if len(amb):
         m_row = scan.m_row
         amb_rows = sorted({m_row[i] for i in amb})
         ctx = scan.context_vectors(amb_rows)
         row_ctx = {r: ctx[j] for j, r in enumerate(amb_rows)}
-        for i in amb:
+        for i in amb.tolist():
             cand, score = pick_candidate(
-                scan.m_cands[i], row_ctx[m_row[i]], emb_map
+                m_cands[i], row_ctx[m_row[i]], emb_map
             )
             curies[i] = cand.curie
             ntypes[i] = cand.node_type
             scores[i] = score
-    return curies, ntypes, scores
+    return curies.tolist(), ntypes.tolist(), scores
 
 
 def mention_frame(doc_ids, span_poss, span_offsets, texts, trie, emb_map):
