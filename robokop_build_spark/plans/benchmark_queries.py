@@ -833,45 +833,49 @@ def streaming_minhash_dedup(spark, sf_dir):
     self-join — so the DuckDB twin is DEDUP_MINHASH_SQL itself: a full
     oracle gate on a custom stateful streaming operator."""
     import shutil
-    import tempfile
 
     from pyspark.sql import functions as F
 
     from ..streaming.incremental import streaming_lsh_candidates
 
-    work = tempfile.mkdtemp(prefix="robokop_stream_lsh_")
-    try:
-        in_dir, out_dir, ck = (
-            os.path.join(work, d) for d in ("in", "out", "ck")
+    # stable per-sf work dir, wiped at the START of the next invocation: the
+    # returned DataFrame stays LAZY over the sink files (candidate volume is
+    # O(n)·noise at corpus scale — 18M pairs measured at 1.6M docs — so a
+    # driver-side collect here would be a scale bug, not a convenience)
+    work = f"/tmp/robokop_stream_lsh/sf{_sf_of(sf_dir)}"
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir, out_dir, ck = (os.path.join(work, d) for d in ("in", "out", "ck"))
+    docs = _t(spark, sf_dir, "documents")
+    docs.write.mode("overwrite").parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    q = (
+        # max_bucket_ids=None: this wrapper is exactness-gated against the
+        # batch self-join's DuckDB twin, and a trimmed bucket would both
+        # drop and re-emit pairs (the operator would flag it with a
+        # TRIM_SENTINEL row, which the hash compare would then catch — but
+        # unbounded state is the honest configuration for an exact drain)
+        streaming_lsh_candidates(
+            stream, num_hashes=16, bands=8, max_bucket_ids=None
         )
-        docs = _t(spark, sf_dir, "documents")
-        docs.write.mode("overwrite").parquet(in_dir)
-        stream = spark.readStream.schema(docs.schema).parquet(in_dir)
-        q = (
-            streaming_lsh_candidates(stream, num_hashes=16, bands=8)
-            .writeStream.format("parquet")
-            .option("path", out_dir)
-            .option("checkpointLocation", ck)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-        a = F.col("id_a").cast("long")
-        b = F.col("id_b").cast("long")
-        out = (
-            # explicit schema: a corpus with zero candidate pairs writes no
-            # part files and schema inference over the bare sink dir fails
-            spark.read.schema("id_a string, id_b string").parquet(out_dir)
-            # string-ordered emission → renormalize to numeric (a < b), and
-            # collapse the per-bucket multiset to the distinct pair set
-            .select(F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b"))
-            .distinct()
-        )
-        rows = out.collect()
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    return spark.createDataFrame(rows, "id_a long, id_b long")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ck)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    a = F.col("id_a").cast("long")
+    b = F.col("id_b").cast("long")
+    return (
+        # explicit schema: a corpus with zero candidate pairs writes no
+        # part files and schema inference over the bare sink dir fails
+        spark.read.schema("id_a string, id_b string").parquet(out_dir)
+        # string-ordered emission → renormalize to numeric (a < b), and
+        # collapse the per-bucket multiset to the distinct pair set
+        .select(F.least(a, b).alias("id_a"), F.greatest(a, b).alias("id_b"))
+        .distinct()
+    )
 
 
 def dedup_simhash(spark, sf_dir):
@@ -879,9 +883,15 @@ def dedup_simhash(spark, sf_dir):
     Hamming join over a signature fixture computed by the scalar reference
     implementation (simhash_py) — so the check covers both the vectorized
     batch kernel (must agree with simhash_py bit-for-bit) and the pair-join
-    machinery."""
+    machinery.
+
+    max_bucket_size=4096 is the hot-bucket skew guard: it can never trim at
+    the driver's oracle-compare scale (sf0.01 = 500 docs, every bucket ≤
+    corpus size), so the hash gate stays exact, while a degenerate-
+    vocabulary corpus at millions of docs is bounded instead of quadratic
+    (637s / 12.6M pairs measured unguarded at 1.6M docs)."""
     sim = D.simhash(_t(spark, sf_dir, "documents"), "doc_id", "text")
-    return D.simhash_near_pairs(sim, max_hamming=2)
+    return D.simhash_near_pairs(sim, max_hamming=2, max_bucket_size=4096)
 
 
 def ann_cosine_topk(spark, sf_dir):

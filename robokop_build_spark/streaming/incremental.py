@@ -108,6 +108,12 @@ def run_available_now(
     q.awaitTermination()
 
 
+# sentinel id_a marking a bucket whose state hit max_bucket_ids (see
+# streaming_lsh_candidates docstring); "\x00" can never be a document id
+# from the parquet corpus
+TRIM_SENTINEL = "\x00__BUCKET_TRIMMED__"
+
+
 def streaming_lsh_candidates(
     stream_docs: DataFrame,
     id_col: str = "doc_id",
@@ -116,7 +122,7 @@ def streaming_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     state_ttl_ms: int | None = None,
-    max_bucket_ids: int = 1024,
+    max_bucket_ids: int | None = 1024,
 ) -> DataFrame:
     """Streaming MinHash-LSH near-dup candidate detection — the custom
     stateful operator Structured Streaming cannot express with built-ins
@@ -134,6 +140,15 @@ def streaming_lsh_candidates(
     max_bucket_ids caps any one bucket (hot-bucket skew guard; the batch op
     bounds the same risk with adaptive band width). State survives restarts
     through the query's checkpointLocation like any stateful streaming op.
+
+    Trimming is NOT silent: whenever the cap drops ids from a bucket, the
+    operator emits a sentinel row (id_a = TRIM_SENTINEL, id_b =
+    "<band>|<bkey>"), because a trimmed bucket both misses candidate pairs
+    and can re-emit a pair if a trimmed id re-arrives. Exactness-gated
+    callers either pass max_bucket_ids=None (unbounded state — what the
+    oracle-compared batch-parity wrapper does) or assert no sentinel rows
+    came out; throughput-oriented deployments keep the cap and route
+    sentinel buckets to a slow exact path.
 
     state_ttl_ms applies to CONTINUOUSLY-running queries. Leave it None for
     Trigger.AvailableNow drains: registered processing-time timeouts keep
@@ -182,7 +197,12 @@ def streaming_lsh_candidates(
                 a, b = (prev, nid) if prev < nid else (nid, prev)
                 pairs_a.append(a)
                 pairs_b.append(b)
-        merged = (seen + new_ids)[-max_bucket_ids:]
+        merged = seen + new_ids
+        if max_bucket_ids is not None and len(merged) > max_bucket_ids:
+            merged = merged[-max_bucket_ids:]
+            # cap hit: make it observable to the caller (see docstring)
+            pairs_a.append(TRIM_SENTINEL)
+            pairs_b.append(f"{key[0]}|{key[1]}")
         state.update((merged,))
         if state_ttl_ms is not None:
             state.setTimeoutDuration(state_ttl_ms)

@@ -64,6 +64,46 @@ def test_simhash_near_pairs(docs):
     assert ("d1", "d4") not in pairs
 
 
+def test_simhash_hot_bucket_guard(spark):
+    """max_bucket_size drops degenerate (chunk, ckey) buckets before the
+    self-join; pairs that also share a NON-degenerate chunk still surface
+    (hamming ≤ 2 ⇒ ≥ 2 of 4 chunks equal)."""
+    # 100 rows all sharing chunk-0 key 0x1111 (a degenerate bucket) but with
+    # pairwise-distant upper chunks (unique chunk-1/2/3 keys, hamming >> 2)
+    def to_i64(v):  # wrap to signed 64-bit (Spark long)
+        v &= (1 << 64) - 1
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [
+        (f"z{i:03d}", to_i64((0x0101010101010101 * (i + 2)) & ~0xFFFF | 0x1111))
+        for i in range(100)
+    ]
+    # one true near pair: differs only in chunk 0 (hamming 2 there), so its
+    # chunk-1/2/3 buckets (size 2, not hot) must recover it after the drop
+    rows += [("a1", 0x00AA00BB00CC0003), ("a2", 0x00AA00BB00CC0000)]
+    sim = spark.createDataFrame(rows, "id string, simhash long")
+    unguarded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(sim, max_hamming=2).collect()
+    }
+    guarded = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            sim, max_hamming=2, max_bucket_size=50
+        ).collect()
+    }
+    assert ("a1", "a2") in guarded  # recovered via chunks 1-3
+    assert guarded <= unguarded
+    # a generous cap that no bucket reaches must be a no-op (exact)
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_near_pairs(
+            sim, max_hamming=2, max_bucket_size=100_000
+        ).collect()
+    }
+    assert exact == unguarded
+
+
 def test_simhash_stable_across_runs(docs):
     a = {r["id"]: r["simhash"] for r in simhash(docs).collect()}
     b = {r["id"]: r["simhash"] for r in simhash(docs.repartition(5)).collect()}
