@@ -707,15 +707,12 @@ WHERE round(CAST(n_shared AS DOUBLE) / (sa.n_sh + sb.n_sh - n_shared), 6) >= 0.1
 
 
 def dedup_minhash_lsh(spark, sf_dir):
-    """num_hashes=None → corpus-adaptive rows-per-band (r=2 ⇒ 16 hashes at
-    every driver-shipped scale, so the DuckDB twin below stays exact; r
-    grows automatically past ~100k docs to keep candidates O(n)).
-
-    ORACLE SCOPE: DEDUP_MINHASH_SQL / DEDUP_VERIFIED_SQL hard-code the
-    r=2/16-hash family, so the hash-compare is only meaningful for corpora
-    ≤100k docs (the driver compares at sf0.01 ≈ 500). Above that the Spark
-    side intentionally widens bands — a mismatch there is the adaptive
-    design working, not an operator bug."""
+    """num_hashes=None → corpus-adaptive rows-per-band (r grows past ~100k
+    docs to keep candidates O(n)). The DuckDB twin is GENERATED from the
+    SAME auto_minhash_rows_per_band rule over the oracle-compare corpus
+    (minhash_sql(_oracle_num_hashes())), so the hash gate stays exact at
+    any compare scale — adaptivity tested across the r=2→r=3 knee in
+    tests/test_queries_oracle.py."""
     return D.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"),
         "doc_id",
@@ -728,8 +725,17 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # affine MinHash family g_i = (h1 + i*h2) mod p, one md5 per shingle split
-# into two 32-bit halves — identical arithmetic to operators/dedup.py
-DEDUP_MINHASH_SQL = """
+# into two 32-bit halves — identical arithmetic to operators/dedup.py. The
+# SQL is GENERATED from (num_hashes, bands) so the DuckDB twin follows the
+# operator's corpus-adaptive band width (auto_minhash_rows_per_band) instead
+# of hard-coding the r=2/16-hash family: the hash gate stays exact at ANY
+# corpus size, not just below the 100k-doc adaptivity knee.
+def _minhash_band_ctes(num_hashes: int, bands: int, table: str = "documents") -> str:
+    r = num_hashes // bands
+    key = " || '|' || ".join(
+        f"CAST(sig[band*{r}+{j}] AS VARCHAR)" for j in range(1, r + 1)
+    )
+    return f"""
 WITH hashed AS (
   SELECT doc_id AS id,
          list_transform(sh, s -> struct_pack(
@@ -739,25 +745,47 @@ WITH hashed AS (
     SELECT doc_id,
            list_transform(range(1, greatest(len(t)-2, 0)+1),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
-    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table})
   )
   WHERE len(sh) > 0
 ),
 sig AS (
   SELECT id,
-         list_transform(range(0, 16), i ->
+         list_transform(range(0, {num_hashes}), i ->
            list_min(list_transform(hs, h -> (h.h1 + i * h.h2) % 4294967311))) AS sig
   FROM hashed
 ),
 banded AS (
-  SELECT id, band,
-         md5(CAST(sig[band*2+1] AS VARCHAR) || '|' || CAST(sig[band*2+2] AS VARCHAR)) AS bkey
-  FROM sig, (SELECT unnest(range(0, 8)) AS band)
-)
+  SELECT id, band, md5({key}) AS bkey
+  FROM sig, (SELECT unnest(range(0, {bands})) AS band)
+)"""
+
+
+def minhash_sql(num_hashes: int = 16, bands: int = 8, table: str = "documents") -> str:
+    """DuckDB twin of dedup.minhash_lsh_pairs at a given band family."""
+    return (
+        _minhash_band_ctes(num_hashes, bands, table)
+        + """
 SELECT DISTINCT x.id AS id_a, y.id AS id_b
 FROM banded x JOIN banded y
   ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
 """
+    )
+
+
+def _oracle_num_hashes(bands: int = 8) -> int:
+    """Band family the ORACLE-COMPARED corpus needs: derived from the same
+    auto_minhash_rows_per_band rule the operator uses, over the row count of
+    the oracle-compare corpus (SPARK_GRAFT_ORACLE_SF_DIR, default sf0.01) —
+    so the Spark side (adaptive, num_hashes=None) and the SQL twin move
+    TOGETHER as the corpus grows instead of silently diverging past the
+    100k-doc knee."""
+    d = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    n = _parquet_num_rows(os.path.join(d, "documents.parquet"))
+    return bands * D.auto_minhash_rows_per_band(n or 0)
+
+
+DEDUP_MINHASH_SQL = minhash_sql(_oracle_num_hashes())
 
 
 def dedup_neardup_verified(spark, sf_dir):
@@ -777,40 +805,30 @@ def dedup_neardup_verified(spark, sf_dir):
     )
 
 
-# the MinHash/banding CTEs are DEDUP_MINHASH_SQL's; the verify stage
-# computes exact Jaccard over distinct-shingle sets on candidates only
-DEDUP_VERIFIED_SQL = """
-WITH sh0 AS (
-  SELECT doc_id,
-         list_transform(range(1, greatest(len(t)-2, 0)+1),
-                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
-  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-),
-nz AS (SELECT doc_id, sh FROM sh0 WHERE len(sh) > 0),
-hashed AS (
-  SELECT doc_id AS id,
-         list_transform(sh, s -> struct_pack(
-             h1 := CAST(('0x' || substr(md5(s), 1, 8)) AS BIGINT),
-             h2 := CAST(('0x' || substr(md5(s), 9, 8)) AS BIGINT))) AS hs
-  FROM nz
-),
-sig AS (
-  SELECT id,
-         list_transform(range(0, 16), i ->
-           list_min(list_transform(hs, h -> (h.h1 + i * h.h2) % 4294967311))) AS sig
-  FROM hashed
-),
-banded AS (
-  SELECT id, band,
-         md5(CAST(sig[band*2+1] AS VARCHAR) || '|' || CAST(sig[band*2+2] AS VARCHAR)) AS bkey
-  FROM sig, (SELECT unnest(range(0, 8)) AS band)
-),
+# the MinHash/banding CTEs are minhash_sql's; the verify stage computes
+# exact Jaccard over distinct-shingle sets on candidates only
+def verified_sql(
+    num_hashes: int = 16,
+    bands: int = 8,
+    threshold: float = 0.12,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of dedup.lsh_verified_near_duplicates at a band family."""
+    return (
+        _minhash_band_ctes(num_hashes, bands, table)
+        + f""",
 cand AS (
   SELECT DISTINCT x.id AS id_a, y.id AS id_b
   FROM banded x JOIN banded y
     ON x.band = y.band AND x.bkey = y.bkey AND x.id < y.id
 ),
-sets AS (SELECT doc_id AS id, list_distinct(sh) AS shset FROM nz),
+sh0 AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(t)-2, 0)+1),
+                        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]) AS sh
+  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {table})
+),
+sets AS (SELECT doc_id AS id, list_distinct(sh) AS shset FROM sh0 WHERE len(sh) > 0),
 scored AS (
   SELECT id_a, id_b,
          len(list_intersect(a.shset, b.shset)) AS n_shared,
@@ -822,8 +840,12 @@ scored AS (
 SELECT id_a, id_b,
        round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) AS jaccard
 FROM scored
-WHERE round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) >= 0.12
+WHERE round(CAST(n_shared AS DOUBLE) / (n_a + n_b - n_shared), 6) >= {threshold}
 """
+    )
+
+
+DEDUP_VERIFIED_SQL = verified_sql(_oracle_num_hashes())
 
 
 def streaming_minhash_dedup(spark, sf_dir):
@@ -855,7 +877,16 @@ def streaming_minhash_dedup(spark, sf_dir):
         # TRIM_SENTINEL row, which the hash compare would then catch — but
         # unbounded state is the honest configuration for an exact drain)
         streaming_lsh_candidates(
-            stream, num_hashes=16, bands=8, max_bucket_ids=None
+            stream,
+            # same corpus-adaptive band family as the batch op and the
+            # generated DuckDB twin (this wrapper's oracle IS the batch SQL)
+            num_hashes=8
+            * D.auto_minhash_rows_per_band(
+                _parquet_num_rows(os.path.join(sf_dir, "documents.parquet"))
+                or 0
+            ),
+            bands=8,
+            max_bucket_ids=None,
         )
         .writeStream.format("parquet")
         .option("path", out_dir)

@@ -90,3 +90,37 @@ def test_no_oracle_queries_run(spark, name):
 def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
+
+
+def test_minhash_generated_oracle_across_band_knee(spark, ddb):
+    """The generated DuckDB twin tracks the operator on BOTH sides of the
+    auto_minhash_rows_per_band knee: the r=2 family a <=100k-doc corpus
+    selects AND the r=3 family a >100k-doc corpus would select, exercised
+    on the same small corpus by pinning num_hashes explicitly (the
+    n_rows -> num_hashes rule itself is shared code, asserted below)."""
+    from robokop_build_spark.operators import dedup as D
+    from robokop_build_spark.plans import benchmark_queries as Q
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    for num_hashes in (16, 24):  # r=2 (below the knee), r=3 (above it)
+        sdf = D.minhash_lsh_pairs(
+            docs, "doc_id", "text", k=3, num_hashes=num_hashes, bands=8
+        )
+        spark_pairs = sorted((r.id_a, r.id_b) for r in sdf.collect())
+        duck_pairs = sorted(
+            tuple(row) for row in ddb.execute(Q.minhash_sql(num_hashes, 8)).fetchall()
+        )
+        assert spark_pairs == duck_pairs, (
+            f"num_hashes={num_hashes}: {len(spark_pairs)} vs {len(duck_pairs)}"
+        )
+    assert len(spark_pairs) > 0
+
+    # the oracle-compared entries and the SQL twin derive their family from
+    # the SAME rule over the SAME corpus — alignment by construction
+    n = Q._parquet_num_rows(f"{SF_DIR}/documents.parquet")
+    assert Q._oracle_num_hashes() == 8 * D.auto_minhash_rows_per_band(n)
+    # knee shape: r=2 up to 100k docs, +1 per 32x growth
+    assert D.auto_minhash_rows_per_band(100_000) == 2
+    assert D.auto_minhash_rows_per_band(100_001) == 3
+    assert D.auto_minhash_rows_per_band(3_200_000) == 3
+    assert D.auto_minhash_rows_per_band(3_200_001) == 4
