@@ -80,12 +80,11 @@ def build_bmp(media_ref: str) -> bytes:
     return header + info + bytes(body)
 
 
-def _paeth(a: int, b: int, c: int) -> int:
-    p = a + b - c
-    pa_, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-    if pa_ <= pb and pa_ <= pc:
-        return a
-    return b if pb <= pc else c
+def _paeth_vec(left: np.ndarray, up: np.ndarray, ul: np.ndarray) -> np.ndarray:
+    """Vectorized Paeth predictor over aligned int arrays."""
+    p = left + up - ul
+    pa, pb, pc = np.abs(p - left), np.abs(p - up), np.abs(p - ul)
+    return np.where((pa <= pb) & (pa <= pc), left, np.where(pb <= pc, up, ul))
 
 
 def build_png(media_ref: str) -> bytes:
@@ -97,31 +96,27 @@ def build_png(media_ref: str) -> bytes:
     import zlib
 
     w, h = media_dims(media_ref)
-    px = media_pixels(media_ref, w, h)
     bpp = 3
     row_bytes = w * bpp
-    raw = bytearray()
-    prior = bytes(row_bytes)
-    for r in range(h):
-        row = px[r * row_bytes : (r + 1) * row_bytes]
-        f = r % 5
-        raw.append(f)
-        for i in range(row_bytes):
-            left = row[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if f == 0:
-                v = row[i]
-            elif f == 1:
-                v = row[i] - left
-            elif f == 2:
-                v = row[i] - up
-            elif f == 3:
-                v = row[i] - ((left + up) >> 1)
-            else:
-                v = row[i] - _paeth(left, up, ul)
-            raw.append(v & 0xFF)
-        prior = row
+    # encode is fully numpy-vectorized: every predictor reads RAW neighbor
+    # values (known up front), so left/up/upper-left are just shifted views
+    px = np.frombuffer(media_pixels(media_ref, w, h), np.uint8)
+    px2 = px.reshape(h, w, bpp).astype(np.int32)
+    left = np.zeros_like(px2)
+    left[:, 1:] = px2[:, :-1]
+    up = np.zeros_like(px2)
+    up[1:] = px2[:-1]
+    ul = np.zeros_like(px2)
+    ul[1:, 1:] = px2[:-1, :-1]
+    preds = np.stack(
+        [np.zeros_like(px2), left, up, (left + up) >> 1, _paeth_vec(left, up, ul)]
+    )
+    ftypes = np.arange(h) % 5  # cycle through all five filter types
+    enc = (px2 - preds[ftypes, np.arange(h)]) & 0xFF
+    scan = np.empty((h, 1 + row_bytes), np.uint8)
+    scan[:, 0] = ftypes
+    scan[:, 1:] = enc.reshape(h, row_bytes)
+    raw = scan.tobytes()
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
         import zlib as z
@@ -176,35 +171,44 @@ def _decode_png(payload: bytes) -> np.ndarray:
     row_bytes = w * bpp
     if len(raw) != h * (1 + row_bytes):
         raise ValueError("PNG pixel data has wrong length")
-    out = bytearray()
-    prior = bytes(row_bytes)
+    # Filter reconstruction is numpy-vectorized where the recurrence allows:
+    # None/Up are pure array ops, Sub is a per-channel cumulative sum mod
+    # 256. Average and Paeth depend on the RECONSTRUCTED left pixel, an
+    # inherently sequential scan — those run one channel-vector step per
+    # pixel (w iterations, not w*bpp). Real deployments swap in PIL at the
+    # decode_media boundary; this stdlib path is the declared stand-in.
+    scan = np.frombuffer(raw, np.uint8).reshape(h, 1 + row_bytes)
+    ftypes = scan[:, 0]
+    if (bad := ftypes[ftypes > 4]).size:
+        raise ValueError(f"bad PNG filter type {bad[0]}")
+    enc = scan[:, 1:].astype(np.int32).reshape(h, w, bpp)
+    out = np.empty((h, w, bpp), np.int32)
+    prior = np.zeros((w, bpp), np.int32)
     for r in range(h):
-        base = r * (1 + row_bytes)
-        f = raw[base]
-        enc = raw[base + 1 : base + 1 + row_bytes]
-        row = bytearray(row_bytes)
-        for i in range(row_bytes):
-            left = row[i - bpp] if i >= bpp else 0
-            up = prior[i]
-            ul = prior[i - bpp] if i >= bpp else 0
-            if f == 0:
-                v = enc[i]
-            elif f == 1:
-                v = enc[i] + left
-            elif f == 2:
-                v = enc[i] + up
-            elif f == 3:
-                v = enc[i] + ((left + up) >> 1)
-            elif f == 4:
-                v = enc[i] + _paeth(left, up, ul)
-            else:
-                raise ValueError(f"bad PNG filter type {f}")
-            row[i] = v & 0xFF
-        out += row
-        prior = bytes(row)
-    return np.concatenate([[w, h], np.frombuffer(bytes(out), np.uint8)]).astype(
-        np.float64
-    )
+        f, e = ftypes[r], enc[r]
+        if f == 0:
+            row = e
+        elif f == 1:  # Sub: row[x] = enc[x] + row[x-1] -> running sum mod 256
+            row = np.cumsum(e, axis=0, dtype=np.int64).astype(np.int32) & 0xFF
+        elif f == 2:
+            row = (e + prior) & 0xFF
+        else:  # Average / Paeth: sequential in x on the reconstructed left
+            row = np.empty((w, bpp), np.int32)
+            left = np.zeros(bpp, np.int32)
+            ul = np.zeros(bpp, np.int32)
+            for x in range(w):
+                up_px = prior[x]
+                pred = (
+                    (left + up_px) >> 1 if f == 3 else _paeth_vec(left, up_px, ul)
+                )
+                left = (e[x] + pred) & 0xFF
+                ul = up_px
+                row[x] = left
+        out[r] = row
+        prior = row
+    return np.concatenate(
+        [[w, h], out.astype(np.uint8).ravel()]
+    ).astype(np.float64)
 
 
 def build_csv(media_ref: str) -> bytes:
@@ -220,12 +224,13 @@ def build_csv(media_ref: str) -> bytes:
 
 
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
-    """REAL decode for the two stdlib-decodable formats.
+    """REAL decode for the three stdlib-decodable formats.
 
     image/bmp → [width, height, *pixel bytes] (top-down BGR, padding
-    stripped, bottom-up rows re-ordered); text/csv → [ncols, nrows, *ints].
-    Anything else (PNG/JPEG/audio) needs a codec library not present in this
-    container and raises."""
+    stripped, bottom-up rows re-ordered); image/png → same shape via the
+    stdlib zlib decoder with full five-filter reconstruction (_decode_png);
+    text/csv → [ncols, nrows, *ints]. Anything else (JPEG/audio) needs a
+    codec library not present in this container and raises."""
     if media_type == "image/bmp":
         magic, _size, _r1, _r2, offset = struct.unpack_from("<2sIHHI", payload, 0)
         if magic != b"BM":
