@@ -309,3 +309,142 @@ def embedding_near_duplicates(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "score")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-pruned scale path for top-k search.
+# Beyond-reference LLM-pipeline operator (SURVEY.md §2 similarity-search
+# family; complements lsh_topk the way IVF complements hyperplane LSH in
+# production vector stores): a deterministic k-means coarse quantizer
+# partitions the corpus into nlist cells, queries probe only the nprobe
+# nearest cells, and exact cosine runs on that slice alone.
+
+
+def auto_nlist(n_rows: int, floor: int = 8, cap: int = 65_536) -> int:
+    """nlist ~ sqrt(n): keeps cell population ~sqrt(n) so probe cost and
+    cell-scan cost grow together (the standard IVF sizing rule). Floored so
+    tiny fixtures still exercise multi-cell pruning; capped because past
+    ~65k cells the centroid scan itself needs its own index."""
+    import math
+
+    return max(floor, min(cap, int(round(math.sqrt(max(n_rows, 1))))))
+
+
+def ivf_train_centroids(
+    vectors, nlist: int, iters: int = 5
+) -> list[list[float]]:
+    """Deterministic Lloyd's k-means over a training sample (numpy, driver
+    side — at 100 TB you train on a bounded sample, never the corpus).
+
+    Determinism contract: stride init over the id-ordered sample (no RNG),
+    fixed iteration count, first-index argmin tie-break, empty cells keep
+    their previous centroid. Output rounded to 6dp so the SAME literal
+    centroid table embeds identically in the Spark plan and any external
+    oracle engine — cross-engine parity is by shared constants, not
+    re-derivation."""
+    import numpy as np
+
+    X = np.asarray(vectors, dtype=np.float64)
+    n = len(X)
+    nlist = max(1, min(nlist, n))
+    cents = X[np.arange(nlist) * (n // nlist)].copy()
+    xsq = (X**2).sum(axis=1)
+    for _ in range(iters):
+        # ||x-c||^2 = ||x||^2 + ||c||^2 - 2 x.c  (no n*nlist*dim blowup)
+        d = xsq[:, None] + (cents**2).sum(axis=1)[None, :] - 2.0 * (X @ cents.T)
+        assign = d.argmin(axis=1)
+        for j in range(nlist):
+            members = X[assign == j]
+            if len(members):
+                cents[j] = members.mean(axis=0)
+    return [[float(v) for v in row] for row in np.round(cents, 6)]
+
+
+def _l2sq(a, b):
+    """Squared L2 distance as a sequential fold (same arithmetic order as
+    the DuckDB twin's list_reduce, so rounded values match exactly)."""
+    diff2 = F.zip_with(
+        a,
+        b,
+        lambda x, y: (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double")),
+    )
+    return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF approximate top-k: assign corpus rows to their nearest centroid
+    (one narrow map over a broadcast nlist x dim matrix — no shuffle),
+    expand each query to its nprobe nearest cells, then exact cosine + a
+    per-query top-k window over the probed slice only.
+
+    100-TB shape: the centroid matrix rides as a one-row broadcast
+    DataFrame (plane_matrix_frame — data, not plan literals); the corpus
+    pass is a single projection; in a persisted deployment you write the
+    assignment bucketed/partitioned BY cid so a probe prunes partitions at
+    the scan. Work per query is nprobe/nlist of the corpus instead of all
+    of it; with nlist ~ sqrt(n) that is O(nprobe * sqrt(n)) per query.
+    Ties deterministic everywhere: assignment argmin breaks to the lowest
+    cid (array_position = first match), probe order (distance, cid), rank
+    order (score desc, neighbor_id) — all on 6dp-rounded doubles so an
+    external engine reproduces them bit-for-bit."""
+    spark = embeddings.sparkSession
+    nlist = len(centroids)
+    cf = plane_matrix_frame(spark, centroids).withColumnRenamed(
+        "__planes", "__cents"
+    )
+    c = (
+        embeddings.crossJoin(F.broadcast(cf))
+        .withColumn(
+            "__d",
+            F.transform(
+                F.col("__cents"), lambda cc: F.round(_l2sq(F.col(vec_col), cc), 6)
+            ),
+        )
+        .select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("nvec"),
+            (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+            .cast("int")
+            .alias("cid"),
+        )
+    )
+    idx = F.sequence(F.lit(0), F.lit(nlist - 1))
+    probe_structs = F.transform(
+        idx,
+        lambda i: F.struct(
+            F.round(
+                _l2sq(F.col(vec_col), F.element_at(F.col("__cents"), i + 1)), 6
+            ).alias("d"),
+            i.cast("int").alias("cid"),
+        ),
+    )
+    q = (
+        queries.crossJoin(F.broadcast(cf))
+        .withColumn("__probe", F.slice(F.array_sort(probe_structs), 1, nprobe))
+        .select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("qvec"),
+            F.explode(F.col("__probe.cid")).alias("cid"),
+        )
+    )
+    scored = (
+        c.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )

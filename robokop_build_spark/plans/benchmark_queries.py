@@ -975,6 +975,97 @@ def ann_embedding_neardup(spark, sf_dir):
     )
 
 
+def _ivf_centroids_for(sf_dir: str, train_rows: int = 65_536) -> list[list[float]]:
+    """Deterministic IVF coarse-quantizer training over (at most) the first
+    train_rows vectors of the corpus — the bounded driver-side sample a
+    100-TB deployment would draw with a sample job. Shared by the Spark
+    query AND the generated DuckDB twin, so both engines search with
+    identical centroid constants (parity by shared literals, the
+    minhash_sql pattern)."""
+    import numpy as np
+    import pyarrow.dataset as ds
+
+    tbl = ds.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
+        train_rows, columns=["vec_id", "embedding"]
+    )
+    col = tbl.column("embedding").combine_chunks()
+    X = col.flatten().to_numpy(zero_copy_only=False).reshape(len(col), -1)
+    X = X[np.argsort(tbl.column("vec_id").to_numpy())]
+    n_corpus = (
+        _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")) or len(X)
+    )
+    return SIM.ivf_train_centroids(X, SIM.auto_nlist(n_corpus))
+
+
+def _ivf_nprobe(nlist: int) -> int:
+    return max(4, nlist // 8)
+
+
+def ann_ivf_topk(spark, sf_dir):
+    """IVF ANN top-k — the cluster-pruned scale path next to the
+    brute-force baseline (ann_cosine_topk) and hyperplane LSH: k-means
+    cells, nprobe-cell probes, exact cosine on the probed slice only.
+    Approximation is part of the operator's spec, and the DuckDB twin
+    replicates it exactly (same centroids, same tie rules), so the hash
+    gate is exact; recall vs the exact baseline is separately gated in
+    tests/test_similarity.py."""
+    cents = _ivf_centroids_for(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    return SIM.ivf_topk(
+        emb, queries, cents, "vec_id", "embedding", k=5,
+        nprobe=_ivf_nprobe(len(cents)),
+    )
+
+
+def ivf_sql(centroids: list[list[float]], nprobe: int, k: int = 5) -> str:
+    """DuckDB twin of ivf_topk at a given centroid table: same 6dp-rounded
+    sequential-fold arithmetic, same (distance, cid) and (score desc, id)
+    tie rules."""
+    dim = len(centroids[0])
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[])"
+        for cid, vec in enumerate(centroids)
+    )
+    l2 = f"""round(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))), (x, y) -> x + y), 6)"""
+    cos = f"""round(
+      list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+        i -> CAST(qvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (x, y) -> x + y)
+      / (sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+           i -> CAST(qvec[i] AS DOUBLE) * CAST(qvec[i] AS DOUBLE))), (x, y) -> x + y))
+       * sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+           i -> CAST(nvec[i] AS DOUBLE) * CAST(nvec[i] AS DOUBLE))), (x, y) -> x + y)))
+    , 6)"""
+    return f"""
+WITH cents(cid, c) AS (VALUES {rows}),
+assigned AS (
+  SELECT vec_id AS neighbor_id, embedding AS nvec, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {l2} ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, embedding AS qvec, cid FROM (
+    SELECT e.vec_id, e.embedding, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {l2} ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c WHERE e.vec_id < 10)
+  WHERE rn <= {nprobe}
+),
+scored AS (
+  SELECT query_id, neighbor_id, {cos} AS score
+  FROM probes p JOIN assigned a USING (cid)
+  WHERE query_id <> neighbor_id
+)
+SELECT query_id, rank, neighbor_id, score FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, neighbor_id ASC) AS rank
+  FROM scored
+) WHERE rank <= {k}
+"""
+
+
 def text_langid(spark, sf_dir):
     return T.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1095,6 +1186,7 @@ QUERIES = {
     "streaming_minhash_dedup": streaming_minhash_dedup,
     "dedup_simhash": dedup_simhash,
     "ann_cosine_topk": ann_cosine_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "ann_embedding_neardup": ann_embedding_neardup,
     "text_langid": text_langid,
     "text_token_stats": text_token_stats,
@@ -1223,6 +1315,11 @@ ORACLES = {
     "dedup_neardup_verified": DEDUP_VERIFIED_SQL,
     "streaming_minhash_dedup": DEDUP_MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
+    # generated like the minhash twins: centroids from the SAME training
+    # rule over the oracle-compare corpus, embedded as shared literals
+    "ann_ivf_topk": ivf_sql(
+        _cents := _ivf_centroids_for(DRIVER_SF_DIR), _ivf_nprobe(len(_cents))
+    ),
     "text_langid": LANGID_SQL,
     "text_token_stats": TOKEN_SQL,
     "text_quality": QUALITY_SQL,

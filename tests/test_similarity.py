@@ -138,3 +138,58 @@ def test_hyperplane_planes_not_inlined_in_plan(spark):
     plan2 = tk._jdf.queryExecution().executedPlan().toString()
     assert len(plan2) < 100_000
     assert tk.count() >= 0
+
+
+def test_ivf_centroid_training_is_deterministic(vecs):
+    from robokop_build_spark.operators import similarity as S
+
+    c1 = S.ivf_train_centroids(vecs, nlist=6)
+    c2 = S.ivf_train_centroids(vecs, nlist=6)
+    assert c1 == c2
+    assert len(c1) == 6 and len(c1[0]) == DIM
+    # nlist sizing rule: sqrt(n) with floor/cap
+    assert S.auto_nlist(100) == 10
+    assert S.auto_nlist(4) == 8           # floor
+    assert S.auto_nlist(10**12) == 65_536  # cap
+    assert S.auto_nlist(500) == 22
+
+
+def test_ivf_topk_finds_near_dup_and_matches_exact_on_probed_cells(
+    spark, emb_df, vecs
+):
+    """The planted near-dup (0,1) lands in the same cell, so IVF must
+    return it as rank 1; and with nprobe == nlist (probe everything) IVF
+    degenerates to the exact baseline — a closed-form correctness check
+    for assignment + probe + rank plumbing."""
+    from robokop_build_spark.operators import similarity as S
+
+    cents = S.ivf_train_centroids(vecs, nlist=6)
+    queries = emb_df.filter(emb_df.vec_id == 0)
+    got = S.ivf_topk(emb_df, queries, cents, k=3, nprobe=2).collect()
+    assert got and got[0]["neighbor_id"] == 1 and got[0]["rank"] == 1
+
+    full = S.ivf_topk(emb_df, queries, cents, k=4, nprobe=len(cents))
+    exact = brute_force_topk(emb_df, queries, k=4)
+    assert sorted(map(tuple, full.collect())) == sorted(
+        map(tuple, exact.collect())
+    )
+
+
+def test_ivf_recall_gate_on_driver_corpus(spark):
+    """Recall@5 vs the exact baseline on the real sf0.001 corpus at the
+    default auto nlist/nprobe — gates the approximation quality honestly
+    (gaussian-mixture corpus, ~nprobe/nlist of it scanned per query)."""
+    from robokop_build_spark.operators import similarity as S
+    from robokop_build_spark.plans import benchmark_queries as Q
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(emb.vec_id < 10)
+    cents = Q._ivf_centroids_for(sf_dir)
+    ivf = S.ivf_topk(
+        emb, queries, cents, k=5, nprobe=Q._ivf_nprobe(len(cents))
+    )
+    exact = brute_force_topk(emb, queries, k=5)
+    a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    assert len(a & e) / len(e) >= 0.4, f"recall {len(a & e) / len(e)}"
