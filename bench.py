@@ -35,6 +35,9 @@ BENCH_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_embedding_neardup",
+    "asof_last_click",
+    "sessionize_events",
+    "pack_token_shards",
     "text_langid",
     "text_quality",
     "text_fingerprint",
@@ -53,6 +56,7 @@ DOC_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_embedding_neardup",
+    "pack_token_shards",
     "text_langid",
     "text_quality",
     "text_fingerprint",

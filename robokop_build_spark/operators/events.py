@@ -1,0 +1,112 @@
+"""Event-stream relational operators Spark lacks as built-ins: as-of join
+and gap-based sessionization, both expressed as compositions of existing
+DataFrame ops (union + window), never per-row Python.
+
+Reference parity note: the reference engine has no event operators — these
+belong to the beyond-reference LLM-pipeline surface (SURVEY.md §2,
+training-data curation: aligning telemetry/label streams to document
+events, grouping interaction logs into sessions).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    ts_col: str = "ts",
+    left_id: str = "event_id",
+    right_id: str = "event_id",
+    suffix: str = "_right",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with the same
+    `on` key and right.ts <= left.ts (inclusive; ties on ts broken by the
+    highest right id — fully deterministic).
+
+    Spark-first shape: instead of a range join (O(n·m) without an interval
+    index), tag both sides, UNION, and run ONE window pass per key ordered
+    by (ts, side, id): last_value(right id, ignorenulls) over the preceding
+    frame is exactly the as-of match. One shuffle on the join key, linear
+    scan per key, no cross product — the plan a 1000-executor cluster wants
+    (both inputs shuffle-partition on `on`; skewed keys stream, not
+    explode). DuckDB twin uses the same explicit window (its native ASOF
+    JOIN leaves equal-ts duplicate resolution unspecified)."""
+    l_tag = left.select(
+        F.col(on),
+        F.col(ts_col).alias("__ts"),
+        F.col(left_id).alias("__lid"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__rid"),
+    )
+    r_tag = right.select(
+        F.col(on),
+        F.col(ts_col).alias("__ts"),
+        F.lit(None).cast("long").alias("__lid"),
+        F.lit(0).alias("__side"),
+        F.col(right_id).cast("long").alias("__rid"),
+    )
+    # order: at equal ts the right row sorts FIRST (side 0 < 1) => inclusive
+    # <=; among equal-ts right rows the highest id wins (last in frame)
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__ts", "__side", "__rid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l_tag.unionByName(r_tag).withColumn(
+        "__asof_rid", F.last("__rid", ignorenulls=True).over(w)
+    )
+    matches = merged.filter(F.col("__side") == 1).select(
+        F.col(on),
+        F.col("__lid").alias(left_id),
+        F.col("__ts").alias(ts_col),
+        F.col("__asof_rid").alias(f"{right_id}{suffix}"),
+    )
+    r_ts = right.select(
+        F.col(right_id).cast("long").alias(f"{right_id}{suffix}"),
+        F.col(ts_col).alias(f"{ts_col}{suffix}"),
+    )
+    return matches.join(r_ts, f"{right_id}{suffix}", "left")
+
+
+def sessionize(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    gap_seconds: int = 1800,
+) -> DataFrame:
+    """Gap-based sessionization: a new session starts when the time since
+    the key's previous event exceeds gap_seconds. Returns one row per
+    session: key, session_seq (1-based per key), n_events, and epoch-micros
+    start/end (BIGINT on purpose — cross-engine hash compares should never
+    ride on timestamp string formatting).
+
+    Two window passes over one shuffle on the key (lag -> boundary flag ->
+    running sum), then a partial-aggregating groupBy — the standard linear
+    plan; batch twin of what a streaming deployment would express with
+    session_window()."""
+    order = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    gap_us = F.lit(int(gap_seconds) * 1_000_000).cast("long")
+    ts_us = F.unix_micros(F.col(ts_col))
+    flagged = events.withColumn(
+        "__new",
+        F.when(
+            F.lag(ts_us).over(order).isNull()
+            | ((ts_us - F.lag(ts_us).over(order)) > gap_us),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    ).withColumn(
+        "session_seq",
+        F.sum("__new").over(
+            order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return flagged.groupBy(key_col, "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(F.col(ts_col))).alias("start_us"),
+        F.max(F.unix_micros(F.col(ts_col))).alias("end_us"),
+    )

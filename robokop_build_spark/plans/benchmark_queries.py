@@ -17,7 +17,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..operators import curation as CU
 from ..operators import dedup as D
+from ..operators import events as EV
 from ..operators import similarity as SIM
 from ..operators import text as T
 from ..operators.support import chi2_2x2
@@ -1066,6 +1068,118 @@ SELECT query_id, rank, neighbor_id, score FROM (
 """
 
 
+def asof_last_click(spark, sf_dir):
+    """As-of join: each error event picks up the user's most recent click
+    at or before it (ties: highest click id). Timestamps surface as epoch
+    micros and the no-match side coalesces to -1 so the cross-engine hash
+    never rides on timestamp/NaN formatting."""
+    ev = _t(spark, sf_dir, "events")
+    out = EV.asof_join(
+        ev.filter(F.col("event_type") == "error"),
+        ev.filter(F.col("event_type") == "click"),
+        on="user_id",
+    )
+    return out.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.coalesce(F.col("event_id_right"), F.lit(-1).cast("long")).alias(
+            "click_id"
+        ),
+        F.coalesce(
+            F.unix_micros(F.col("ts_right")), F.lit(-1).cast("long")
+        ).alias("click_ts_us"),
+    )
+
+
+ASOF_SQL = """
+WITH quotes AS (
+  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.event_id, epoch_us(p.ts) AS ts_us,
+       coalesce(m.event_id, -1) AS click_id,
+       coalesce(epoch_us(m.ts), CAST(-1 AS BIGINT)) AS click_ts_us
+FROM (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error') p
+LEFT JOIN LATERAL (
+  SELECT q.event_id, q.ts FROM quotes q
+  WHERE q.user_id = p.user_id AND q.ts <= p.ts
+  ORDER BY q.ts DESC, q.event_id DESC LIMIT 1
+) m ON true
+"""
+
+
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization of the event stream (30-min gap)."""
+    return EV.sessionize(_t(spark, sf_dir, "events"))
+
+
+SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, ts_us,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,
+       min(ts_us) AS start_us, max(ts_us) AS end_us
+FROM numbered GROUP BY user_id, session_seq
+"""
+
+
+def split_hash_buckets(spark, sf_dir):
+    """Deterministic 80/10/10 split over documents by md5-bucket of the id."""
+    return CU.train_test_split(_t(spark, sf_dir, "documents"))
+
+
+SPLIT_SQL = """
+SELECT doc_id, bucket,
+       CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+"""
+
+
+def pack_token_shards(spark, sf_dir):
+    """Token-budget shard packing over 16 independent md5-bucketed packer
+    streams (4096 whitespace tokens per shard)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens"),
+    )
+    return CU.pack_token_shards(docs, budget=4096, packers=16)
+
+
+PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 AS packer
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, packer, n_tokens,
+         sum(n_tokens) OVER (PARTITION BY packer ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM toks
+)
+SELECT doc_id, packer, CAST(floor((cum - n_tokens) / 4096.0) AS BIGINT) AS shard_seq,
+       n_tokens
+FROM cum
+"""
+
+
 def text_langid(spark, sf_dir):
     return T.language_id(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
@@ -1188,6 +1302,10 @@ QUERIES = {
     "ann_cosine_topk": ann_cosine_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "ann_embedding_neardup": ann_embedding_neardup,
+    "asof_last_click": asof_last_click,
+    "sessionize_events": sessionize_events,
+    "split_hash_buckets": split_hash_buckets,
+    "pack_token_shards": pack_token_shards,
     "text_langid": text_langid,
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
@@ -1320,6 +1438,10 @@ ORACLES = {
     "ann_ivf_topk": ivf_sql(
         _cents := _ivf_centroids_for(DRIVER_SF_DIR), _ivf_nprobe(len(_cents))
     ),
+    "asof_last_click": ASOF_SQL,
+    "sessionize_events": SESSIONIZE_SQL,
+    "split_hash_buckets": SPLIT_SQL,
+    "pack_token_shards": PACK_SQL,
     "text_langid": LANGID_SQL,
     "text_token_stats": TOKEN_SQL,
     "text_quality": QUALITY_SQL,

@@ -10,6 +10,7 @@ connected-components fixpoint.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -77,6 +78,12 @@ class PipelineConfig:
     # min-CURIE canonical rep legitimately surfaces alias prefixes
     forbidden_id_prefixes: tuple[str, ...] = ()
     cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
+    # intermediate materialization: 'local' = eager localCheckpoint (no
+    # parquet round-trip; default), 'commit' = durable stage commit for
+    # doc_entities/triples_base/metrics too (the pre-round-5 layout; also
+    # an A/B lever for measuring the trade at scale). Env override:
+    # SPARK_GRAFT_INTERMEDIATES=commit|local
+    intermediates: str = "local"
 
     def query_key(self, programs: list[list[str]]) -> str:
         """Stage-name suffix for query-dependent stages, so one workdir
@@ -194,7 +201,11 @@ class KGPipeline:
         # optimization + codegen time past what the skipped commits saved).
         # Durability is unaffected: on executor loss past the block's
         # lifetime the job restarts from the committed frontier.
-        doc_entities = _doc_entities().localCheckpoint(eager=True)
+        inter = os.environ.get("SPARK_GRAFT_INTERMEDIATES", cfg.intermediates)
+        if inter == "commit":
+            doc_entities = ckpt.run_stage("doc_entities", _doc_entities)
+        else:
+            doc_entities = _doc_entities().localCheckpoint(eager=True)
 
         # --- compile the query into concrete programs (driver-side, over
         # the type-level metagraph = distinct (src,dst) pairs — dimension) --
@@ -239,7 +250,10 @@ class KGPipeline:
         # unions them back, so without materialization the expand DAG would
         # run twice — but durability belongs to the triples{qk} frontier
         # commit just below; a second parquet round-trip here was pure floor
-        triples_base = _triples_base().localCheckpoint(eager=True)
+        if inter == "commit":
+            triples_base = ckpt.run_stage(f"triples_base{qk}", _triples_base)
+        else:
+            triples_base = _triples_base().localCheckpoint(eager=True)
 
         def _triples() -> DataFrame:
             from ..operators.supporters import get_supporter
@@ -315,7 +329,10 @@ class KGPipeline:
         # lazy, uncommitted: a dimension-sized rollup over tables that are
         # either committed (mentions/triples/nodes) or persisted — computed
         # only when a consumer actually collects it
-        metrics = _metrics()
+        if inter == "commit":
+            metrics = ckpt.run_stage(f"metrics{qk}", _metrics)
+        else:
+            metrics = _metrics()
 
         return {
             "mentions": mentions,
