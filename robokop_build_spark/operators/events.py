@@ -91,7 +91,10 @@ def sessionize(
     session_window()."""
     order = Window.partitionBy(key_col).orderBy(ts_col, id_col)
     gap_us = F.lit(int(gap_seconds) * 1_000_000).cast("long")
-    ts_us = F.unix_micros(F.col(ts_col))
+    # parquet event times arrive as TIMESTAMP_NTZ; the UTC session makes
+    # the cast to (tz-aware) TIMESTAMP exact, and unix_micros then agrees
+    # with DuckDB's epoch_us on the same NTZ values
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     flagged = events.withColumn(
         "__new",
         F.when(
@@ -107,6 +110,6 @@ def sessionize(
     )
     return flagged.groupBy(key_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(F.unix_micros(F.col(ts_col))).alias("start_us"),
-        F.max(F.unix_micros(F.col(ts_col))).alias("end_us"),
+        F.min(ts_us).alias("start_us"),
+        F.max(ts_us).alias("end_us"),
     )

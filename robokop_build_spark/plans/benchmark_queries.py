@@ -1082,12 +1082,13 @@ def asof_last_click(spark, sf_dir):
     return out.select(
         "user_id",
         "event_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.coalesce(F.col("event_id_right"), F.lit(-1).cast("long")).alias(
             "click_id"
         ),
         F.coalesce(
-            F.unix_micros(F.col("ts_right")), F.lit(-1).cast("long")
+            F.unix_micros(F.col("ts_right").cast("timestamp")),
+            F.lit(-1).cast("long"),
         ).alias("click_ts_us"),
     )
 
@@ -1124,8 +1125,11 @@ WITH flagged AS (
 ),
 numbered AS (
   SELECT user_id, ts_us,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
-                          ROWS UNBOUNDED PRECEDING) AS session_seq
+         -- CAST: DuckDB windowed sum(int) is HUGEINT, which pandas turns
+         -- into float64 and the stringified hash compare would then see
+         -- "5.0" vs Spark's "5"
+         CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
   FROM flagged
 )
 SELECT user_id, session_seq, CAST(count(*) AS BIGINT) AS n_events,

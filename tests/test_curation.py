@@ -1,0 +1,83 @@
+"""Closed-form tests for corpus-curation operators (hash split, token-budget
+shard packing)."""
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from robokop_build_spark.operators.curation import (
+    hash_bucket,
+    pack_token_shards,
+    train_test_split,
+)
+
+
+def _expected_bucket(key, buckets):
+    return int(hashlib.md5(str(key).encode()).hexdigest()[:8], 16) % buckets
+
+
+def test_hash_bucket_matches_reference_md5_arithmetic(spark):
+    df = spark.range(0, 50).select(F.col("id").alias("doc_id"))
+    got = {
+        r["doc_id"]: r["b"]
+        for r in df.select(
+            "doc_id", hash_bucket(F.col("doc_id"), 100).alias("b")
+        ).collect()
+    }
+    assert got == {i: _expected_bucket(i, 100) for i in range(50)}
+
+
+def test_train_test_split_is_deterministic_and_respects_cutoffs(spark):
+    df = spark.range(0, 1000).select(F.col("id").alias("doc_id"))
+    out = train_test_split(df).collect()
+    for r in out:
+        want = (
+            "train" if r["bucket"] < 80 else "val" if r["bucket"] < 90 else "test"
+        )
+        assert r["split"] == want
+    counts = {}
+    for r in out:
+        counts[r["split"]] = counts.get(r["split"], 0) + 1
+    # md5 is uniform: 80/10/10 within a loose tolerance at n=1000
+    assert 700 < counts["train"] < 900
+    assert counts["val"] + counts["test"] == 1000 - counts["train"]
+    # rerun gives the identical assignment (content-independent, no RNG)
+    again = {r["doc_id"]: r["split"] for r in train_test_split(df).collect()}
+    assert again == {r["doc_id"]: r["split"] for r in out}
+
+
+def test_pack_token_shards_closed_form(spark):
+    # one packer stream => global sequential packing we can hand-compute
+    df = spark.createDataFrame(
+        [(i, w) for i, w in enumerate([60, 60, 60, 60, 250, 10])],
+        "doc_id long, n_tokens long",
+    )
+    out = {
+        r["doc_id"]: (r["packer"], r["shard_seq"])
+        for r in pack_token_shards(df, budget=100, packers=1).collect()
+    }
+    # exclusive cumsums: 0, 60, 120, 180, 240, 490
+    assert out == {
+        0: (0, 0),
+        1: (0, 0),
+        2: (0, 1),
+        3: (0, 1),
+        4: (0, 2),
+        5: (0, 4),  # the 250-token doc overshoots; next doc skips to shard 4
+    }
+
+
+def test_pack_token_shards_budget_contract(spark):
+    """Every shard's total stays under budget + its largest single doc
+    (overshoot-by-at-most-one-document), across many packer streams."""
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(1, 700)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n_tokens long")
+    out = pack_token_shards(df, budget=1000, packers=8)
+    agg = out.groupBy("packer", "shard_seq").agg(
+        F.sum("n_tokens").alias("total"), F.max("n_tokens").alias("biggest")
+    )
+    for r in agg.collect():
+        assert r["total"] < 1000 + r["biggest"]

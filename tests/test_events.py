@@ -1,0 +1,93 @@
+"""Closed-form tests for the event-stream operators (as-of join and
+sessionization)."""
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from robokop_build_spark.operators.events import asof_join, sessionize
+
+
+def _ts(minute, second=0):
+    return dt.datetime(2024, 1, 1, 0, minute, second)
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp"
+    )
+
+
+def test_asof_join_picks_latest_at_or_before(spark):
+    left = _events(
+        spark,
+        [
+            (100, 1, _ts(10)),  # after quotes at 5 and 8 -> 12
+            (101, 1, _ts(5)),   # exactly at quote 11's ts -> inclusive
+            (102, 1, _ts(1)),   # before any quote -> null
+            (103, 2, _ts(30)),  # other key -> its own quote
+        ],
+    )
+    right = _events(
+        spark,
+        [
+            (11, 1, _ts(5)),
+            (12, 1, _ts(8)),
+            (21, 2, _ts(7)),
+        ],
+    )
+    got = {
+        r["event_id"]: r["event_id_right"]
+        for r in asof_join(left, right, on="user_id").collect()
+    }
+    assert got == {100: 12, 101: 11, 102: None, 103: 21}
+
+
+def test_asof_join_equal_ts_tie_breaks_to_highest_right_id(spark):
+    left = _events(spark, [(100, 1, _ts(10))])
+    right = _events(spark, [(11, 1, _ts(10)), (12, 1, _ts(10)), (5, 1, _ts(9))])
+    [row] = asof_join(left, right, on="user_id").collect()
+    assert row["event_id_right"] == 12
+    # and the match's own timestamp comes back alongside
+    assert row["ts_right"] == _ts(10)
+
+
+def test_sessionize_splits_on_gap(spark):
+    ev = _events(
+        spark,
+        [
+            (1, 7, _ts(0)),
+            (2, 7, _ts(10)),        # 10 min gap -> same session
+            (3, 7, _ts(41)),        # 31 min gap -> new session
+            (4, 7, _ts(41, 30)),
+            (5, 8, _ts(0)),         # separate key
+        ],
+    )
+    rows = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessionize(ev, gap_seconds=1800).collect()
+    }
+    assert set(rows) == {(7, 1), (7, 2), (8, 1)}
+    assert rows[(7, 1)]["n_events"] == 2
+    assert rows[(7, 2)]["n_events"] == 2
+    s2 = rows[(7, 2)]
+    assert s2["end_us"] - s2["start_us"] == 30 * 1_000_000
+
+
+def test_sessionize_exact_gap_is_same_session(spark):
+    ev = _events(spark, [(1, 7, _ts(0)), (2, 7, _ts(30))])  # exactly 1800s
+    rows = sessionize(ev, gap_seconds=1800).collect()
+    assert len(rows) == 1 and rows[0]["n_events"] == 2
+
+
+def test_asof_join_plan_has_single_shuffle_no_cross_product(spark):
+    left = _events(spark, [(100, 1, _ts(10))])
+    right = _events(spark, [(11, 1, _ts(5))])
+    plan = (
+        asof_join(left, right, on="user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
