@@ -35,6 +35,25 @@ from .query import enumerate_programs, tokenize_path
 DGX_PATH = ["disease", "gene", "genetic_condition"]
 
 
+def _parquet_rows_hint(fixture_dir: str) -> int | None:
+    """Corpus size from parquet footers (metadata-only, no Spark job) —
+    drives the intermediates=auto materialization choice."""
+    import glob as _glob
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = os.path.join(fixture_dir, "documents.parquet")
+        files = (
+            sorted(_glob.glob(os.path.join(path, "*.parquet")))
+            if os.path.isdir(path)
+            else [path]
+        )
+        return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        return None
+
+
 @dataclass
 class PipelineConfig:
     fixture_dir: str
@@ -78,12 +97,18 @@ class PipelineConfig:
     # min-CURIE canonical rep legitimately surfaces alias prefixes
     forbidden_id_prefixes: tuple[str, ...] = ()
     cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
-    # intermediate materialization: 'local' = eager localCheckpoint (no
-    # parquet round-trip; default), 'commit' = durable stage commit for
-    # doc_entities/triples_base/metrics too (the pre-round-5 layout; also
-    # an A/B lever for measuring the trade at scale). Env override:
-    # SPARK_GRAFT_INTERMEDIATES=commit|local
-    intermediates: str = "local"
+    # intermediate materialization for doc_entities/triples_base/metrics:
+    # 'local' = eager localCheckpoint (no parquet round-trip),
+    # 'commit' = durable stage commit (the pre-round-5 layout),
+    # 'auto' (default) = local below ~2M docs, commit above. Measured
+    # (interleaved A/B, 4 executor JVMs x 2 cores, fresh process per run):
+    # at 8M docs commit wins decisively — 179/234s vs 283/322s — because
+    # doc-scale localCheckpoint blocks live DESERIALIZED in executor heaps
+    # (GC-heavy, single-replica fetches) while the parquet round-trip is
+    # compressed, columnar-pruned on re-read, and lands on fast local
+    # storage; at <=1M docs the two are statistically equal and local
+    # avoids the commit floor. Env override: SPARK_GRAFT_INTERMEDIATES.
+    intermediates: str = "auto"
 
     def query_key(self, programs: list[list[str]]) -> str:
         """Stage-name suffix for query-dependent stages, so one workdir
@@ -202,6 +227,12 @@ class KGPipeline:
         # Durability is unaffected: on executor loss past the block's
         # lifetime the job restarts from the committed frontier.
         inter = os.environ.get("SPARK_GRAFT_INTERMEDIATES", cfg.intermediates)
+        if inter == "auto":
+            inter = (
+                "commit"
+                if (_parquet_rows_hint(cfg.fixture_dir) or 0) >= 2_000_000
+                else "local"
+            )
         if inter == "commit":
             doc_entities = ckpt.run_stage("doc_entities", _doc_entities)
         else:
