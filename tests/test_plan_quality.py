@@ -187,3 +187,42 @@ def test_lsh_self_joins_reuse_materialized_signatures(spark):
     emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
     plan = _plan(embedding_near_duplicates(emb, "vec_id", "embedding"))
     assert plan.count("InMemoryTableScan") == 2, plan
+
+
+def test_split_is_pure_projection_no_shuffle(spark):
+    """train_test_split must stay a narrow map over the scan: no Exchange,
+    no Python — the split of a 100-TB corpus is a zero-shuffle pass."""
+    from robokop_build_spark.operators.curation import train_test_split
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    plan = _plan(train_test_split(docs))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_pack_token_shards_single_shuffle(spark):
+    """One hash Exchange on the packer key feeds the per-stream window —
+    no global sort, no second shuffle."""
+    from robokop_build_spark.operators.curation import pack_token_shards
+
+    docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet")).select(
+        "doc_id", F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tokens")
+    )
+    plan = _plan(pack_token_shards(docs, budget=4096, packers=16))
+    # exactly one data exchange: hashpartitioning on the packer stream key
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_ivf_assignment_broadcasts_centroids(spark):
+    """The corpus-side pass must be a broadcast nested-loop over the ONE
+    centroid row (not a shuffle), and the probe join must broadcast the
+    query side."""
+    from robokop_build_spark.operators.similarity import ivf_topk
+    from robokop_build_spark.plans.benchmark_queries import _ivf_centroids_for
+
+    emb = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    cents = _ivf_centroids_for(SF_DIR)
+    plan = _plan(ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5))
+    assert "BroadcastHashJoin" in plan  # probe join on cid
+    assert "CartesianProduct" not in plan
