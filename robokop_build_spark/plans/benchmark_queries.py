@@ -1138,6 +1138,54 @@ FROM numbered GROUP BY user_id, session_seq
 """
 
 
+def streaming_sessionize(spark, sf_dir):
+    """Native stateful session_window aggregation drained with
+    Trigger.AvailableNow over the events table staged as a file stream
+    (maxFilesPerTrigger splits the drain so sessions genuinely cross
+    micro-batch boundaries and merge in the state store). Hash-gated
+    against the SAME DuckDB twin as the batch op (SESSIONIZE_SQL) — a full
+    oracle gate on a built-in stateful streaming operator. Complete mode +
+    foreachBatch overwrite: parquet sinks are append-only, and append mode
+    would never emit the final sessions (the watermark stops advancing
+    after the last file of a drain); the rollup is user-keyed
+    (dimension-scale), so complete-mode state is bounded by user count,
+    and the write stays distributed (no driver collect)."""
+    import shutil
+
+    from ..streaming.incremental import streaming_sessions
+
+    work = f"/tmp/robokop_stream_sess/sf{_sf_of(sf_dir)}"
+    shutil.rmtree(work, ignore_errors=True)
+    in_dir, out_dir, ck = (os.path.join(work, d) for d in ("in", "out", "ck"))
+    ev = _t(spark, sf_dir, "events")
+    ev.write.mode("overwrite").parquet(in_dir)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _bid: df.write.mode("overwrite").parquet(out_dir)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.read.parquet(out_dir)
+    w = Window.partitionBy("user_id").orderBy("start_us")
+    return out.select(
+        "user_id",
+        F.row_number().over(w).cast("long").alias("session_seq"),
+        "n_events",
+        "start_us",
+        "end_us",
+    )
+
+
 def split_hash_buckets(spark, sf_dir):
     """Deterministic 80/10/10 split over documents by md5-bucket of the id."""
     return CU.train_test_split(_t(spark, sf_dir, "documents"))
@@ -1308,6 +1356,7 @@ QUERIES = {
     "ann_embedding_neardup": ann_embedding_neardup,
     "asof_last_click": asof_last_click,
     "sessionize_events": sessionize_events,
+    "streaming_sessionize": streaming_sessionize,
     "split_hash_buckets": split_hash_buckets,
     "pack_token_shards": pack_token_shards,
     "text_langid": text_langid,
@@ -1444,6 +1493,7 @@ ORACLES = {
     ),
     "asof_last_click": ASOF_SQL,
     "sessionize_events": SESSIONIZE_SQL,
+    "streaming_sessionize": SESSIONIZE_SQL,
     "split_hash_buckets": SPLIT_SQL,
     "pack_token_shards": PACK_SQL,
     "text_langid": LANGID_SQL,

@@ -221,3 +221,37 @@ def streaming_lsh_candidates(
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def streaming_sessions(
+    events_stream: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+) -> DataFrame:
+    """Stateful session rollup on a live event stream via Spark's native
+    session_window aggregation — the streaming twin of
+    operators/events.sessionize (same 30-min-gap semantics on continuous
+    event times; session_window's boundary is strict `< gap` vs the batch
+    op's `<= gap`, indistinguishable off a measure-zero exact-gap case the
+    parity test asserts absent). Sessions that span micro-batches are
+    merged by the streaming state store — that cross-batch merge is
+    exactly what the exactness gate exercises.
+
+    Caller picks the sink/output mode: production uses append + a
+    watermark (bounded state, sessions finalize when the watermark passes
+    their close); an exactness-gated drain uses complete mode +
+    foreachBatch overwrite, since append would hold the final sessions
+    hostage to a watermark that never advances after the last file.
+    """
+    from pyspark.sql import functions as F
+
+    ts = F.col(ts_col).cast("timestamp")
+    return events_stream.groupBy(
+        F.col(key_col),
+        F.session_window(ts, gap).alias("sw"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros(ts)).alias("start_us"),
+        F.max(F.unix_micros(ts)).alias("end_us"),
+    )

@@ -250,3 +250,64 @@ def test_streaming_lsh_trim_sentinel(spark, tmp_path):
     assert (
         uncapped.select("id_a", "id_b").distinct().count() == 15
     )
+
+
+def test_streaming_sessions_merge_across_batches(spark, tmp_path):
+    """A session whose events arrive in DIFFERENT micro-batches must come
+    out as ONE session (the state-store merge), and the rollup must equal
+    the batch sessionize on the same data."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from robokop_build_spark.operators.events import sessionize
+    from robokop_build_spark.streaming.incremental import streaming_sessions
+
+    def t(minute):
+        return dt.datetime(2024, 1, 1) + dt.timedelta(minutes=minute)
+
+    # file 0: first half of a session + a lone old event; file 1 (a later
+    # micro-batch): the second half of the same session, within the gap
+    part0 = [(1, 7, t(0)), (2, 7, t(10))]
+    part1 = [(3, 7, t(25)), (4, 7, t(70)), (5, 8, t(0))]
+    schema = "event_id long, user_id long, ts timestamp"
+    in_dir = str(tmp_path / "in")
+    spark.createDataFrame(part0, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(in_dir)
+    spark.createDataFrame(part1, schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(in_dir)
+
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir)
+    )
+    q = (
+        streaming_sessions(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(
+            lambda df, _b: df.write.mode("overwrite").parquet(out_dir)
+        )
+        .option("checkpointLocation", ck)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(q.recentProgress) >= 2, "drain must span multiple micro-batches"
+
+    got = sorted(
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    batch = sorted(
+        (r["user_id"], r["n_events"], r["start_us"], r["end_us"])
+        for r in sessionize(
+            spark.createDataFrame(part0 + part1, schema)
+        ).collect()
+    )
+    assert got == batch
+    # events 1,2 (batch 0) and 3 (batch 1) merged into one 3-event session
+    assert (7, 3) in {(u, n) for u, n, _, _ in got}
