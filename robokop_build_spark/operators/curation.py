@@ -87,3 +87,29 @@ def pack_token_shards(
             F.col("__wt").alias(weight_col),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    n_per_stratum: int = 100,
+) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample: rank rows inside each
+    stratum by (md5(id), id) and keep the first n.
+
+    md5 order is uniform and content/layout-independent, so this is an
+    unbiased sample that is STABLE across reruns, backfills, and partition
+    layouts — the property `sampleBy`/`rand()` cannot give a resumable
+    pipeline (a retried stage must not sample different rows). One shuffle
+    on the stratum key; the rank window streams each stratum once. For
+    strata too hot for one task, pre-aggregate with the md5 prefix as a
+    sub-key (two-phase top-n) — at n_per_stratum ~1e2-1e4 the single
+    window is the right plan."""
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("sample_rank") <= n_per_stratum)
+    )

@@ -1204,6 +1204,27 @@ FROM (
 """
 
 
+def sample_per_lang(spark, sf_dir):
+    """Deterministic 20-per-language document sample (md5-rank order —
+    stable across reruns/layouts, unlike rand()-based sampleBy)."""
+    return CU.stratified_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "lang"),
+        "lang",
+        n_per_stratum=20,
+    )
+
+
+SAMPLE_SQL = """
+SELECT doc_id, lang, sample_rank FROM (
+  SELECT doc_id, lang,
+         CAST(row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= 20
+"""
+
+
 def pack_token_shards(spark, sf_dir):
     """Token-budget shard packing over 16 independent md5-bucketed packer
     streams (4096 whitespace tokens per shard)."""
@@ -1358,6 +1379,7 @@ QUERIES = {
     "sessionize_events": sessionize_events,
     "streaming_sessionize": streaming_sessionize,
     "split_hash_buckets": split_hash_buckets,
+    "sample_per_lang": sample_per_lang,
     "pack_token_shards": pack_token_shards,
     "text_langid": text_langid,
     "text_token_stats": text_token_stats,
@@ -1495,6 +1517,7 @@ ORACLES = {
     "sessionize_events": SESSIONIZE_SQL,
     "streaming_sessionize": SESSIONIZE_SQL,
     "split_hash_buckets": SPLIT_SQL,
+    "sample_per_lang": SAMPLE_SQL,
     "pack_token_shards": PACK_SQL,
     "text_langid": LANGID_SQL,
     "text_token_stats": TOKEN_SQL,

@@ -81,3 +81,28 @@ def test_pack_token_shards_budget_contract(spark):
     )
     for r in agg.collect():
         assert r["total"] < 1000 + r["biggest"]
+
+
+def test_stratified_sample_deterministic_and_sized(spark):
+    from robokop_build_spark.operators.curation import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, "ab"[i % 2]) for i in range(200)], "doc_id long, lang string"
+    )
+    out = stratified_sample(df, "lang", n_per_stratum=10)
+    rows = out.collect()
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault(r["lang"], []).append(r["doc_id"])
+    assert {len(v) for v in by_stratum.values()} == {10}
+    # stable across reruns and across a different partition layout
+    again = stratified_sample(df.repartition(7), "lang", n_per_stratum=10)
+    assert sorted(map(tuple, again.collect())) == sorted(map(tuple, rows))
+    # matches the hand-computed md5 order
+    import hashlib
+
+    want_a = sorted(
+        (i for i in range(200) if i % 2 == 0),
+        key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+    )[:10]
+    assert sorted(by_stratum["a"]) == sorted(want_a)
