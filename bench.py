@@ -43,9 +43,10 @@ BENCH_QUERIES = [
     "text_fingerprint",
 ]
 
-# queries that read only the documents/embeddings tables — the subset that
-# can run against synthesized driver-shaped tables at SF>0.1 (the external
-# driver ships /root/testdata only up to sf0.1; see datagen/driver_tables)
+# queries that read only the documents/embeddings/events tables — the
+# subset that can run against synthesized driver-shaped tables at SF>0.1
+# (the external driver ships /root/testdata only up to sf0.1; see
+# datagen/driver_tables)
 DOC_QUERIES = [
     "f3_stopword_tokens",
     "dedup_exact",
@@ -56,6 +57,8 @@ DOC_QUERIES = [
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_embedding_neardup",
+    "asof_last_click",
+    "sessionize_events",
     "pack_token_shards",
     "text_langid",
     "text_quality",

@@ -17,8 +17,13 @@ module synthesizes tables of exactly the driver shape, deterministically
   64-d gaussians in 10 label clusters, plus ~1% perturbed near-copies so
   banded near-dup search has hits.
 
-Row counts per SF mirror the driver: 50,000 docs and 20,000 vectors at
-SF=1.
+- events(event_id int64, ts timestamp, user_id int64, event_type string,
+  value double, props string): exponential inter-arrivals (mean ~2 min),
+  uniform users, view/click/error/purchase mix — the as-of join and
+  sessionization operators' scale input.
+
+Row counts per SF mirror the driver: 50,000 docs, 20,000 vectors, and
+1,000,000 events at SF=1.
 """
 
 from __future__ import annotations
@@ -29,7 +34,7 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-DRIVER_TABLES_VERSION = 1
+DRIVER_TABLES_VERSION = 2
 SEED = 0x5EED
 
 _VOCAB = (
@@ -99,6 +104,32 @@ def _gen_embeddings(n_vecs: int, rng: np.random.Generator):
     }
 
 
+def _gen_events(n_events: int, n_users: int, rng, id_offset: int = 0):
+    """Driver-shaped events chunk: exponential inter-arrivals (mean ~2 min,
+    matching the shipped sf0.01 table), uniform users, typed mix. ts is
+    offset by the chunk's global position so parallel chunks stay
+    time-ordered in expectation."""
+    base_us = 1_704_067_200_000_000  # 2024-01-01 UTC
+    mean_gap_us = 120_000_000
+    gaps = rng.exponential(mean_gap_us, size=n_events).astype(np.int64)
+    ts_us = base_us + id_offset * mean_gap_us + np.cumsum(gaps)
+    types = rng.choice(
+        np.array(["view", "click", "error", "purchase"]),
+        size=n_events,
+        p=[0.55, 0.3, 0.1, 0.05],
+    )
+    return {
+        "event_id": pa.array(np.arange(n_events, dtype=np.int64) + id_offset),
+        "ts": pa.array(ts_us.view("datetime64[us]")),
+        "user_id": pa.array(
+            rng.integers(0, max(n_users, 1), size=n_events).astype(np.int64)
+        ),
+        "event_type": pa.array(types),
+        "value": pa.array(np.round(rng.uniform(0, 50, size=n_events), 2)),
+        "props": pa.array([f'{{"k": {int(k)}}}' for k in rng.integers(0, 100, n_events)]),
+    }
+
+
 def ensure_driver_tables(out_dir: str, sf: float, seed: int = SEED) -> str:
     """Generate (once, marker-guarded) driver-shaped documents/embeddings
     parquet at `out_dir` for scale `sf`. Safe to call repeatedly.
@@ -128,6 +159,13 @@ def ensure_driver_tables(out_dir: str, sf: float, seed: int = SEED) -> str:
         pa.table(_gen_embeddings(n_vecs, rng)),
         os.path.join(out_dir, "embeddings.parquet"),
         row_group_size=max(4096, n_vecs // 64),
+    )
+    n_events = max(100, int(1_000_000 * sf))
+    rng = np.random.default_rng(seed + 2)
+    pq.write_table(
+        pa.table(_gen_events(n_events, max(2, int(15_000 * sf)), rng)),
+        os.path.join(out_dir, "events.parquet"),
+        row_group_size=max(4096, n_events // 64),
     )
     with open(marker, "w") as f:
         f.write(stamp)
@@ -206,6 +244,19 @@ def ensure_driver_tables_spark(
     def cols_to_pandas(cols):
         return pd.DataFrame({k: v.to_pandas() for k, v in cols.items()})
 
+    n_events = max(100, int(1_000_000 * sf))
+    n_users = max(2, int(15_000 * sf))
+
+    def event_chunks(batches):
+        for pdf in batches:
+            for p in pdf["id"]:
+                p = int(p)
+                lo = n_events * p // partitions
+                hi = n_events * (p + 1) // partitions
+                rng = np.random.default_rng((seed + 2, p))
+                cols = _gen_events(hi - lo, n_users, rng, id_offset=lo)
+                yield cols_to_pandas(cols)
+
     parts = spark.range(partitions).repartition(partitions, "id")
     docs_schema = "doc_id long, text string, lang string, source string, n_chars long"
     emb_schema = "vec_id long, embedding array<float>, label int"
@@ -215,6 +266,13 @@ def ensure_driver_tables_spark(
     parts.mapInPandas(emb_chunks, schema=emb_schema).write.mode(
         "overwrite"
     ).parquet(os.path.join(out_dir, "embeddings.parquet"))
+    ev_schema = (
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
+        "value double, props string"
+    )
+    parts.mapInPandas(event_chunks, schema=ev_schema).write.mode(
+        "overwrite"
+    ).parquet(os.path.join(out_dir, "events.parquet"))
     with open(marker, "w") as f:
         f.write(stamp)
     return out_dir

@@ -380,6 +380,7 @@ def ivf_topk(
     vec_col: str = "embedding",
     k: int = 5,
     nprobe: int = 4,
+    kernel: str = "auto",
 ) -> DataFrame:
     """IVF approximate top-k: assign corpus rows to their nearest centroid
     (one narrow map over a broadcast nlist x dim matrix — no shuffle),
@@ -387,55 +388,121 @@ def ivf_topk(
     per-query top-k window over the probed slice only.
 
     100-TB shape: the centroid matrix rides as a one-row broadcast
-    DataFrame (plane_matrix_frame — data, not plan literals); the corpus
-    pass is a single projection; in a persisted deployment you write the
-    assignment bucketed/partitioned BY cid so a probe prunes partitions at
-    the scan. Work per query is nprobe/nlist of the corpus instead of all
-    of it; with nlist ~ sqrt(n) that is O(nprobe * sqrt(n)) per query.
-    Ties deterministic everywhere: assignment argmin breaks to the lowest
-    cid (array_position = first match), probe order (distance, cid), rank
-    order (score desc, neighbor_id) — all on 6dp-rounded doubles so an
-    external engine reproduces them bit-for-bit."""
+    DataFrame (plane_matrix_frame — data, not plan literals) or inside the
+    Arrow UDF closure; the corpus pass is a single projection; in a
+    persisted deployment you write the assignment bucketed/partitioned BY
+    cid so a probe prunes partitions at the scan. Work per query is
+    nprobe/nlist of the corpus instead of all of it; with nlist ~ sqrt(n)
+    that is O(nprobe * sqrt(n)) per query. Ties deterministic everywhere:
+    assignment argmin breaks to the lowest cid, probe order (distance,
+    cid), rank order (score desc, neighbor_id) — all on 6dp-rounded
+    doubles so an external engine reproduces them bit-for-bit.
+
+    kernel: 'fold' evaluates per-centroid sequential-fold expressions in
+    the JVM — arithmetic-order-identical to the DuckDB twin, but the
+    expression tree grows with nlist and falls off a cliff past ~10^2
+    centroids (nlist=800 at 640k rows did not finish in minutes).
+    'matmul' runs the assignment as an Arrow-batched mapInPandas numpy
+    kernel (||x||^2 + ||c||^2 - 2 X @ C.T per batch) — O(rows x nlist x
+    dim) BLAS instead of an O(nlist)-deep expression; numpy's pairwise
+    summation differs from the sequential fold at ~1e-15 relative, nine
+    orders below the 6dp rounding that feeds the argmin, and kernel
+    equality on real corpora is pinned by test. 'auto' = fold to 64
+    centroids (the oracle-compared family), matmul above."""
     spark = embeddings.sparkSession
     nlist = len(centroids)
-    cf = plane_matrix_frame(spark, centroids).withColumnRenamed(
-        "__planes", "__cents"
-    )
-    c = (
-        embeddings.crossJoin(F.broadcast(cf))
-        .withColumn(
-            "__d",
-            F.transform(
-                F.col("__cents"), lambda cc: F.round(_l2sq(F.col(vec_col), cc), 6)
+    if kernel == "auto":
+        kernel = "fold" if nlist <= 64 else "matmul"
+    if kernel == "matmul":
+        import numpy as np
+        import pandas as pd
+
+        C = np.asarray(centroids, dtype=np.float64)
+        csq = (C**2).sum(axis=1)
+
+        def _dists(pdf: pd.DataFrame) -> "np.ndarray":
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            return np.round(
+                (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
+            )
+
+        def assign(batches):
+            for pdf in batches:
+                if len(pdf):
+                    pdf = pdf.assign(cid=_dists(pdf).argmin(axis=1).astype("int32"))
+                else:
+                    pdf = pdf.assign(cid=pd.Series([], dtype="int32"))
+                yield pdf.rename(
+                    columns={id_col: "neighbor_id", vec_col: "nvec"}
+                )
+
+        def probe(batches):
+            for pdf in batches:
+                rows = {"query_id": [], "qvec": [], "cid": []}
+                if len(pdf):
+                    d = _dists(pdf)
+                    # stable argsort by rounded distance: among ties the
+                    # lower cid (= original index) wins, matching the fold
+                    # kernel's (d, cid) struct sort
+                    order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+                    for i in range(len(pdf)):
+                        for cc in order[i]:
+                            rows["query_id"].append(pdf[id_col].iat[i])
+                            rows["qvec"].append(pdf[vec_col].iat[i])
+                            rows["cid"].append(int(cc))
+                yield pd.DataFrame(rows)
+
+        vec_t = dict(embeddings.dtypes)[vec_col]
+        id_t = dict(embeddings.dtypes)[id_col]
+        c = embeddings.select(id_col, vec_col).mapInPandas(
+            assign,
+            schema=f"neighbor_id {id_t}, nvec {vec_t}, cid int",
+        )
+        q = queries.select(id_col, vec_col).mapInPandas(
+            probe, schema=f"query_id {id_t}, qvec {vec_t}, cid int"
+        )
+    else:
+        cf = plane_matrix_frame(spark, centroids).withColumnRenamed(
+            "__planes", "__cents"
+        )
+        c = (
+            embeddings.crossJoin(F.broadcast(cf))
+            .withColumn(
+                "__d",
+                F.transform(
+                    F.col("__cents"),
+                    lambda cc: F.round(_l2sq(F.col(vec_col), cc), 6),
+                ),
+            )
+            .select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("nvec"),
+                (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
+                .cast("int")
+                .alias("cid"),
+            )
+        )
+        idx = F.sequence(F.lit(0), F.lit(nlist - 1))
+        probe_structs = F.transform(
+            idx,
+            lambda i: F.struct(
+                F.round(
+                    _l2sq(F.col(vec_col), F.element_at(F.col("__cents"), i + 1)), 6
+                ).alias("d"),
+                i.cast("int").alias("cid"),
             ),
         )
-        .select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("nvec"),
-            (F.array_position(F.col("__d"), F.array_min(F.col("__d"))) - 1)
-            .cast("int")
-            .alias("cid"),
+        q = (
+            queries.crossJoin(F.broadcast(cf))
+            .withColumn(
+                "__probe", F.slice(F.array_sort(probe_structs), 1, nprobe)
+            )
+            .select(
+                F.col(id_col).alias("query_id"),
+                F.col(vec_col).alias("qvec"),
+                F.explode(F.col("__probe.cid")).alias("cid"),
+            )
         )
-    )
-    idx = F.sequence(F.lit(0), F.lit(nlist - 1))
-    probe_structs = F.transform(
-        idx,
-        lambda i: F.struct(
-            F.round(
-                _l2sq(F.col(vec_col), F.element_at(F.col("__cents"), i + 1)), 6
-            ).alias("d"),
-            i.cast("int").alias("cid"),
-        ),
-    )
-    q = (
-        queries.crossJoin(F.broadcast(cf))
-        .withColumn("__probe", F.slice(F.array_sort(probe_structs), 1, nprobe))
-        .select(
-            F.col(id_col).alias("query_id"),
-            F.col(vec_col).alias("qvec"),
-            F.explode(F.col("__probe.cid")).alias("cid"),
-        )
-    )
     scored = (
         c.join(F.broadcast(q), "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))

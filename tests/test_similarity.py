@@ -193,3 +193,16 @@ def test_ivf_recall_gate_on_driver_corpus(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
     assert len(a & e) / len(e) >= 0.4, f"recall {len(a & e) / len(e)}"
+
+
+def test_ivf_kernels_agree(spark, emb_df, vecs):
+    """The Arrow matmul assignment kernel must produce exactly the fold
+    kernel's output (numpy pairwise summation differs at ~1e-15, nine
+    orders under the 6dp rounding that feeds every argmin/tie)."""
+    from robokop_build_spark.operators import similarity as S
+
+    cents = S.ivf_train_centroids(vecs, nlist=6)
+    queries = emb_df.filter(emb_df.vec_id < 8)
+    fold = S.ivf_topk(emb_df, queries, cents, k=4, nprobe=3, kernel="fold")
+    mm = S.ivf_topk(emb_df, queries, cents, k=4, nprobe=3, kernel="matmul")
+    assert sorted(map(tuple, fold.collect())) == sorted(map(tuple, mm.collect()))
