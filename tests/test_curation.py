@@ -106,3 +106,8 @@ def test_stratified_sample_deterministic_and_sized(spark):
         key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
     )[:10]
     assert sorted(by_stratum["a"]) == sorted(want_a)
+
+
+def test_pack_token_shards_empty_input(spark):
+    df = spark.createDataFrame([], "doc_id long, n_tokens long")
+    assert pack_token_shards(df).count() == 0

@@ -91,3 +91,17 @@ def test_asof_join_plan_has_single_shuffle_no_cross_product(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_asof_join_empty_right_side_yields_all_nulls(spark):
+    left = _events(spark, [(100, 1, _ts(10))])
+    right = _events(spark, []).filter("event_id IS NOT NULL")
+    [row] = asof_join(left, right, on="user_id").collect()
+    assert row["event_id_right"] is None and row["ts_right"] is None
+
+
+def test_sessionize_single_event_per_user(spark):
+    ev = _events(spark, [(1, 7, _ts(0))])
+    [row] = sessionize(ev).collect()
+    assert (row["session_seq"], row["n_events"]) == (1, 1)
+    assert row["start_us"] == row["end_us"]
