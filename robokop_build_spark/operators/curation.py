@@ -89,6 +89,74 @@ def pack_token_shards(
     )
 
 
+def word_ngrams(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """One row per (id, word n-gram): lowercase, split on single spaces,
+    sliding window of n joined by spaces. Documents shorter than n words
+    yield no rows (guarded — F.sequence with start > stop would otherwise
+    produce a DESCENDING sequence, not an empty one). Pure codegen:
+    split/transform/slice/explode, no UDF."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    return df.select(F.col(id_col), F.explode(grams).alias("gram"))
+
+
+def decontaminate_ngrams(
+    train: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+) -> DataFrame:
+    """Benchmark decontamination: for every training document, count word
+    n-grams it shares with a benchmark/eval corpus and return the
+    contaminated ones (n_hits >= 1) with an overlap ratio — the standard
+    pre-training hygiene pass (the n-gram-overlap rule popularized by the
+    GPT-3/PaLM decontamination appendices).
+
+    100-TB shape: the benchmark side is an eval set — MB-scale BY CONTRACT
+    — so its distinct-gram set is broadcast (no shuffle of the 100-TB train
+    side on a string key); the train side is scanned once, gram explosion
+    is map-side, and the per-doc rollup is one partial-aggregating groupBy
+    on doc_id. If the benchmark ever outgrew broadcast, the same plan runs
+    as a shuffle join on xxhash64(gram) — flip documented here, not needed
+    for eval-set-sized right sides."""
+    bench = (
+        word_ngrams(benchmark, id_col, text_col, n)
+        .select("gram")
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    tg = word_ngrams(train, id_col, text_col, n).distinct()
+    return (
+        tg.join(F.broadcast(bench), "gram", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0)))
+            .cast("long")
+            .alias("n_hits"),
+        )
+        .filter(F.col("n_hits") > 0)
+        .select(
+            id_col,
+            "n_grams",
+            "n_hits",
+            F.round(F.col("n_hits") / F.col("n_grams"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

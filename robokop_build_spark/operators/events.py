@@ -72,6 +72,48 @@ def asof_join(
     return matches.join(r_ts, f"{right_id}{suffix}", "left")
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    ts_col: str = "ts_us",
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_width: int = 3_600_000_000,
+) -> DataFrame:
+    """Point-in-interval join (each point row matched to every interval
+    with start <= ts < end) WITHOUT the cartesian product Spark's planner
+    gives a bare non-equi join (BroadcastNestedLoopJoin: O(points ×
+    intervals) comparisons).
+
+    Bucket decomposition: time is cut into fixed-width buckets; each
+    interval is exploded to the buckets it overlaps (one row per covered
+    bucket — choose bucket_width on the order of the TYPICAL interval
+    length so the blow-up factor stays ~1-2×), each point maps to exactly
+    one bucket, and the match becomes an EQUI-join on the bucket key plus a
+    residual range filter inside the join — a shuffle-partitionable plan
+    whose cost is O(points + intervals·coverage + true matches). This is
+    the interval-join strategy streaming engines (Flink) and warehouse
+    range-join optimizers implement natively; DuckDB's IEJoin handles the
+    oracle side directly."""
+    b = F.lit(int(bucket_width)).cast("long")
+    iv = intervals.withColumn(
+        "__b",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / b),
+                F.floor((F.col(end_col) - 1) / b),
+            )
+        ),
+    )
+    pt = points.withColumn("__b", F.floor(F.col(ts_col) / b))
+    cond = (
+        (pt["__b"] == iv["__b"])
+        & (pt[ts_col] >= iv[start_col])
+        & (pt[ts_col] < iv[end_col])
+    )
+    return pt.join(iv, cond).drop("__b")
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",

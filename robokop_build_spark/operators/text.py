@@ -77,6 +77,75 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
     )
 
 
+# PII patterns kept to RE2-safe syntax (character classes + bounded
+# repetition, no backrefs/lookaround) so the Java-regex (Spark) and RE2
+# (DuckDB oracle) engines match identical spans
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z][a-z]+"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """PII redaction pass: replace emails/phone numbers with typed
+    placeholders and report per-document counts plus a fingerprint of the
+    redacted text (the key a post-scrub exact-dedup would use).
+
+    Pure column expressions — regexp_count / regexp_replace / md5 run
+    JVM-side in whole-stage codegen, a narrow map over the corpus with no
+    shuffle: the shape a 100-TB scrub needs (one pass, predicate-pushdown
+    and column-pruning friendly). Real deployments extend the pattern set
+    (SSNs, IBANs, addresses); the operator is the template: N patterns, one
+    chained regexp_replace, still one scan."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return docs.select(
+        F.col(id_col),
+        F.regexp_count(F.col(text_col), F.lit(EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col(text_col), F.lit(PHONE_RE)).cast("long").alias("n_phones"),
+        F.length(redacted).alias("redacted_len"),
+        F.md5(redacted).alias("redacted_md5"),
+    )
+
+
+def repetition_stats(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document repetition signal: the fraction of word n-grams that
+    are duplicates of an earlier n-gram in the SAME document — the standard
+    boilerplate/degenerate-text filter signal (repeated navigation chrome,
+    spam keyword stuffing, model-loop output all score high).
+
+    Entirely narrow (no explode, no shuffle): the n-gram array is built
+    per-row with split/transform/slice, and the ratio is
+    1 - distinct/total over that array. Documents shorter than n words
+    report 0 grams and ratio 0."""
+    words = F.split(F.lower(F.col(text_col)), " ")
+    starts = F.when(
+        F.size(words) >= n,
+        F.sequence(F.lit(1), F.size(words) - F.lit(n - 1)),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(words, i, n)))
+    n_grams = F.size(grams)
+    n_distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        F.col(id_col),
+        n_grams.cast("long").alias("n_grams"),
+        n_distinct.cast("long").alias("n_distinct"),
+        F.round(
+            F.when(
+                n_grams > 0,
+                F.lit(1.0) - n_distinct.cast("double") / n_grams,
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("rep_ratio"),
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (lowercase, strip
     non-alphanumerics to single spaces, trim) — the canonical key for exact

@@ -1393,6 +1393,260 @@ FROM documents
 """
 
 
+def decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination over the documents table: the md5-bucket-0
+    slice (~10%) plays the eval set; every other document is checked for
+    shared word 4-grams against it (broadcast gram set, one scan of the
+    train side — see operators/curation.decontaminate_ngrams). n=4 on this
+    corpus flags ~14% of train docs — a non-vacuous gate (n=5 flags zero,
+    n=3 flags nearly everything on the 31-word synthetic vocabulary)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b = CU.hash_bucket(F.col("doc_id"), 10)
+    return CU.decontaminate_ngrams(
+        docs.filter(b != 0), docs.filter(b == 0), n=4
+    )
+
+
+DECONTAM_SQL = """
+WITH tagged AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 10 AS b
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, b,
+         unnest(list_transform(range(1, len(w) - 2),
+                               i -> array_to_string(w[i:i+3], ' '))) AS gram
+  FROM tagged
+),
+bench AS (SELECT DISTINCT gram FROM grams WHERE b = 0),
+train AS (SELECT DISTINCT doc_id, gram FROM grams WHERE b <> 0)
+SELECT t.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN bn.gram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       round(CAST(sum(CASE WHEN bn.gram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS contamination
+FROM train t LEFT JOIN bench bn USING (gram)
+GROUP BY t.doc_id
+HAVING sum(CASE WHEN bn.gram IS NOT NULL THEN 1 ELSE 0 END) > 0
+"""
+
+
+def text_pii_scrub(spark, sf_dir):
+    """PII redaction round-trip: deterministic synthetic PII (an email and
+    a phone derived from doc_id) is appended to every document, then the
+    scrub operator must count and redact it. The injection makes the gate
+    real — on the PII-free synthetic corpus alone the redaction would be
+    an unfalsifiable no-op."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or call 555-"),
+            F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    return T.pii_scrub(docs, "doc_id", "text")
+
+
+from ..operators.text import EMAIL_RE, PHONE_RE  # noqa: E402
+
+PII_SQL = f"""
+WITH injected AS (
+  SELECT doc_id,
+         concat(text, ' contact user', CAST(doc_id AS VARCHAR),
+                '@example.com or call 555-',
+                lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0'), '-',
+                lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) AS text
+  FROM documents
+),
+red AS (
+  SELECT doc_id, text,
+         regexp_replace(regexp_replace(text, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                        '{PHONE_RE}', '<PHONE>', 'g') AS redacted
+  FROM injected
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(text, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       length(redacted) AS redacted_len,
+       md5(redacted) AS redacted_md5
+FROM red
+"""
+
+
+def text_repetition(spark, sf_dir):
+    """Within-document repetition ratio (duplicate word 3-grams) — the
+    boilerplate/degenerate-text signal. Fully narrow, no shuffle."""
+    return T.repetition_stats(_t(spark, sf_dir, "documents"), "doc_id", "text", n=3)
+
+
+REPETITION_SQL = """
+WITH g AS (
+  SELECT doc_id,
+         list_transform(range(1, len(string_split(lower(text), ' ')) - 1),
+           i -> array_to_string((string_split(lower(text), ' '))[i:i+2], ' ')) AS grams
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(grams) AS BIGINT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+       round(CASE WHEN len(grams) > 0
+                  THEN 1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams)
+                  ELSE 0.0 END, 6) AS rep_ratio
+FROM g
+"""
+
+
+def range_window_join(spark, sf_dir):
+    """Point-in-interval join: every 200th event opens a 1-hour window;
+    each window aggregates all events inside it. The Spark side goes
+    through operators/events.range_join (bucket-decomposed equi-join — no
+    BroadcastNestedLoopJoin cartesian); the DuckDB twin states the same
+    semantics as a bare inequality join (its IEJoin handles that natively).
+    Per-row milli-unit rounding keeps the value sum integer-exact across
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    pts = ev.select("event_id", ts_us.alias("ts_us"), "value")
+    win = ev.filter(F.col("event_id") % 200 == 0).select(
+        F.col("event_id").alias("window_id"),
+        ts_us.alias("start_us"),
+        (ts_us + F.lit(3_600_000_000).cast("long")).alias("end_us"),
+    )
+    j = EV.range_join(pts, win, bucket_width=3_600_000_000)
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 1000, 0).cast("long"))
+        .cast("long")
+        .alias("value_milli"),
+    )
+
+
+RANGE_JOIN_SQL = """
+WITH w AS (
+  SELECT event_id AS window_id, epoch_us(ts) AS start_us,
+         epoch_us(ts) + 3600000000 AS end_us
+  FROM events WHERE event_id % 200 = 0
+)
+SELECT w.window_id, CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(e.value * 1000, 0) AS BIGINT)) AS BIGINT) AS value_milli
+FROM events e JOIN w
+  ON epoch_us(e.ts) >= w.start_us AND epoch_us(e.ts) < w.end_us
+GROUP BY w.window_id
+"""
+
+
+def graph_triangles(spark, sf_dir):
+    """Per-node triangle counts over the part co-purchase graph (parts
+    sharing an order). Spark runs the degree-ordered orientation
+    (operators/graph.triangle_count — wedge fanout bounded O(sqrt(E)) per
+    node); the oracle states the naive identity-ordered three-way
+    self-join, which yields the SAME counts because the triangle set is
+    orientation-independent."""
+    from ..operators.graph import triangle_count as _tc
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return _tc(edges)
+
+
+TRIANGLES_SQL = """
+WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+  FROM lp x JOIN lp y
+    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey
+),
+t AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e e1
+  JOIN e e2 ON e2.a = e1.b
+  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+)
+SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+FROM (SELECT x AS node FROM t
+      UNION ALL SELECT y FROM t
+      UNION ALL SELECT z FROM t)
+GROUP BY node
+"""
+
+
+def a9_rollup_revenue(spark, sf_dir):
+    """ROLLUP grouping sets: revenue at (flag, status), per-flag subtotal,
+    and grand total in ONE pass (Spark expands grouping sets map-side; no
+    three-scan union). gid is the engine's grouping bitmask — both Spark's
+    grouping_id() and DuckDB's GROUPING() put the first column in the MSB."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid",
+            "n_rows",
+            "revenue",
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def a10_percentiles(spark, sf_dir):
+    """Exact interpolated per-group percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`: both sort and linearly interpolate at
+    p*(n-1)). Exact is the oracle-checkable form; at 100 TB the same call
+    site swaps to approx_percentile(col, p, accuracy) — the t-digest path
+    whose error bound is declared, not hash-compared."""
+    li = _t(spark, sf_dir, "lineitem")
+
+    def p(q):
+        return F.round(F.percentile(F.col("l_extendedprice"), F.lit(q)), 4)
+
+    return li.groupBy("l_returnflag").agg(
+        p(0.25).alias("p25"),
+        p(0.50).alias("p50"),
+        p(0.75).alias("p75"),
+        p(0.95).alias("p95"),
+    )
+
+
+PERCENTILES_SQL = """
+SELECT l_returnflag,
+       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+       round(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+       round(quantile_cont(l_extendedprice, 0.75), 4) AS p75,
+       round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -1443,6 +1697,13 @@ QUERIES = {
     "text_token_stats": text_token_stats,
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
+    "decontaminate_ngrams": decontaminate_docs,
+    "text_pii_scrub": text_pii_scrub,
+    "text_repetition": text_repetition,
+    "range_window_join": range_window_join,
+    "graph_triangles": graph_triangles,
+    "a9_rollup_revenue": a9_rollup_revenue,
+    "a10_percentiles": a10_percentiles,
 }
 
 # --------------------------------------------------------------------------
@@ -1582,4 +1843,11 @@ ORACLES = {
     "text_token_stats": TOKEN_SQL,
     "text_quality": QUALITY_SQL,
     "text_fingerprint": FINGERPRINT_SQL,
+    "decontaminate_ngrams": DECONTAM_SQL,
+    "text_pii_scrub": PII_SQL,
+    "text_repetition": REPETITION_SQL,
+    "range_window_join": RANGE_JOIN_SQL,
+    "graph_triangles": TRIANGLES_SQL,
+    "a9_rollup_revenue": ROLLUP_SQL,
+    "a10_percentiles": PERCENTILES_SQL,
 }

@@ -111,3 +111,57 @@ def test_stratified_sample_deterministic_and_sized(spark):
 def test_pack_token_shards_empty_input(spark):
     df = spark.createDataFrame([], "doc_id long, n_tokens long")
     assert pack_token_shards(df).count() == 0
+
+
+def test_word_ngrams_short_docs_yield_no_rows(spark):
+    from robokop_build_spark.operators.curation import word_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b"), (3, "")], "doc_id long, text string"
+    )
+    got = sorted(
+        (r["doc_id"], r["gram"]) for r in word_ngrams(df, n=3).collect()
+    )
+    assert got == [(1, "a b c"), (1, "b c d"), (1, "c d e")]
+
+
+def test_decontaminate_ngrams_flags_shared_grams(spark):
+    from robokop_build_spark.operators.curation import decontaminate_ngrams
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps")], "doc_id long, text string"
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "look the quick brown fox jumps here"),  # 3 shared 4-grams... compute
+            (2, "completely unrelated words only here"),
+            (3, "quick brown fox jumps"),  # exactly the benchmark 4-suffix
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in decontaminate_ngrams(train, bench, n=4).collect()
+    }
+    assert set(out) == {1, 3}
+    # doc 1: grams of 7 words = 4 grams; shared = "the quick brown fox",
+    # "quick brown fox jumps" -> 2 hits
+    assert out[1]["n_grams"] == 4 and out[1]["n_hits"] == 2
+    assert out[1]["contamination"] == 0.5
+    # doc 3: its single gram is contained in the benchmark
+    assert out[3]["n_grams"] == 1 and out[3]["n_hits"] == 1
+    assert out[3]["contamination"] == 1.0
+
+
+def test_decontaminate_ngrams_counts_distinct_grams_once(spark):
+    from robokop_build_spark.operators.curation import decontaminate_ngrams
+
+    bench = spark.createDataFrame([(9, "x y z w")], "doc_id long, text string")
+    # the same contaminated gram repeated in one doc counts once (distinct)
+    train = spark.createDataFrame(
+        [(1, "x y z w x y z w")], "doc_id long, text string"
+    )
+    # 8 words -> 5 positional 4-grams, but "x y z w" occurs twice and the
+    # contract counts DISTINCT grams: 4 grams, 1 contaminated
+    [r] = decontaminate_ngrams(train, bench, n=4).collect()
+    assert r["n_hits"] == 1 and r["n_grams"] == 4

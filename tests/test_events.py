@@ -105,3 +105,62 @@ def test_sessionize_single_event_per_user(spark):
     [row] = sessionize(ev).collect()
     assert (row["session_seq"], row["n_events"]) == (1, 1)
     assert row["start_us"] == row["end_us"]
+
+
+# ---------------------------------------------------------------------------
+# range_join
+# ---------------------------------------------------------------------------
+
+from robokop_build_spark.operators.events import range_join  # noqa: E402
+
+
+def _pts(spark, rows):
+    return spark.createDataFrame(rows, "pid long, ts_us long")
+
+
+def _ivs(spark, rows):
+    return spark.createDataFrame(rows, "wid long, start_us long, end_us long")
+
+
+def test_range_join_boundaries_inclusive_start_exclusive_end(spark):
+    pts = _pts(spark, [(1, 100), (2, 199), (3, 200), (4, 99)])
+    ivs = _ivs(spark, [(10, 100, 200)])
+    got = sorted(
+        (r["pid"], r["wid"])
+        for r in range_join(pts, ivs, ts_col="ts_us", bucket_width=50).collect()
+    )
+    assert got == [(1, 10), (2, 10)]  # ts=200 excluded, ts=99 before start
+
+
+def test_range_join_interval_spanning_many_buckets(spark):
+    # interval covers buckets 0..9 with width 10; points in several buckets
+    pts = _pts(spark, [(1, 5), (2, 50), (3, 99), (4, 100)])
+    ivs = _ivs(spark, [(7, 0, 100)])
+    got = sorted(
+        r["pid"]
+        for r in range_join(pts, ivs, ts_col="ts_us", bucket_width=10).collect()
+    )
+    assert got == [1, 2, 3]
+
+
+def test_range_join_overlapping_intervals_match_all(spark):
+    pts = _pts(spark, [(1, 150)])
+    ivs = _ivs(spark, [(10, 100, 200), (11, 140, 160), (12, 160, 170)])
+    got = sorted(
+        r["wid"]
+        for r in range_join(pts, ivs, ts_col="ts_us", bucket_width=1000).collect()
+    )
+    assert got == [10, 11]
+
+
+def test_range_join_plan_is_equi_join_not_cartesian(spark):
+    pts = _pts(spark, [(1, 150)])
+    ivs = _ivs(spark, [(10, 100, 200)])
+    plan = (
+        range_join(pts, ivs, ts_col="ts_us", bucket_width=100)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -55,3 +55,85 @@ def test_pagerank_matches_scalar_reference_on_random_graph(spark):
         ).collect()
     }
     assert got == _pagerank_py(edges, iterations=7)
+
+
+# ---------------------------------------------------------------------------
+# triangle_count
+# ---------------------------------------------------------------------------
+
+from robokop_build_spark.operators.graph import triangle_count  # noqa: E402
+
+
+def _triangles_py(edges):
+    """Independent scalar reference: per-node triangle membership counts."""
+    import itertools
+
+    und = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    nodes = sorted({x for e in und for x in e})
+    adj = {v: set() for v in nodes}
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    counts = {}
+    for a, b, c in itertools.combinations(nodes, 3):
+        if b in adj[a] and c in adj[a] and c in adj[b]:
+            for v in (a, b, c):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def test_triangle_count_single_triangle(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a")], ["src", "dst"]
+    )
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_square_no_diagonal_is_empty(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")], ["src", "dst"]
+    )
+    assert triangle_count(edges).count() == 0
+
+
+def test_triangle_count_dupes_and_reversed_edges_collapse(spark):
+    # each undirected edge appears twice (both directions) plus a self-loop;
+    # the count must still see ONE triangle
+    raw = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"),
+           ("a", "c"), ("a", "a")]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    got = {r["node"]: r["n_triangles"] for r in triangle_count(edges).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangle_count_matches_scalar_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    edges = [
+        (f"n{rng.randrange(20)}", f"n{rng.randrange(20)}") for _ in range(80)
+    ]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == _triangles_py(edges)
+
+
+def test_triangle_count_hub_skew_matches_reference(spark):
+    # a hub connected to everything (worst case for unoriented wedge counts):
+    # degree ordering must still produce exact counts
+    spokes = [f"s{i}" for i in range(12)]
+    edges = [("hub", s) for s in spokes] + [
+        (spokes[i], spokes[i + 1]) for i in range(0, 10, 2)
+    ]
+    got = {
+        r["node"]: r["n_triangles"]
+        for r in triangle_count(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == _triangles_py(edges)

@@ -56,3 +56,39 @@ def test_fingerprint_normalizes_formatting(spark):
     got = {r["doc_id"]: r["fingerprint"] for r in fingerprint(df).collect()}
     assert got["a"] == got["b"] == got["c"]
     assert got["d"] != got["a"]
+
+
+def test_pii_scrub_counts_and_redacts(spark):
+    from robokop_build_spark.operators.text import pii_scrub
+
+    rows = [
+        (1, "mail me at john.doe@example.com or jane+x@sub.domain.org now"),
+        (2, "call 555-123-4567 or 555-000-9999"),
+        (3, "no pii here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in pii_scrub(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"]) == (2, 0)
+    assert (got[2]["n_emails"], got[2]["n_phones"]) == (0, 2)
+    assert (got[3]["n_emails"], got[3]["n_phones"]) == (0, 0)
+    import hashlib
+
+    want = "mail me at <EMAIL> or <EMAIL> now"
+    assert got[1]["redacted_md5"] == hashlib.md5(want.encode()).hexdigest()
+    assert got[1]["redacted_len"] == len(want)
+
+
+def test_repetition_stats_detects_boilerplate(spark):
+    from robokop_build_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a b c a b c a b c"),   # 7 3-grams, 3 distinct
+        (2, "one two three four"),  # 2 3-grams, all distinct
+        (3, "too short"),           # shorter than n -> 0 grams, ratio 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in repetition_stats(df, n=3).collect()}
+    assert (got[1]["n_grams"], got[1]["n_distinct"]) == (7, 3)
+    assert abs(got[1]["rep_ratio"] - (1 - 3 / 7)) < 1e-6
+    assert got[2]["rep_ratio"] == 0.0
+    assert (got[3]["n_grams"], got[3]["rep_ratio"]) == (0, 0.0)
