@@ -36,7 +36,21 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     Plan: two shuffles to attach degrees, one self-join on the wedge apex,
     one join to close, partial-agg count per corner. The identity-ordered
     (a<b) variant computes the SAME per-node counts (the triangle set is
-    orientation-independent), which is what the SQL oracle uses."""
+    orientation-independent), which is what the SQL oracle uses.
+
+    The oriented edge table is persisted (registered for release via
+    caching.release_operator_caches): it is referenced three times (both
+    wedge legs + the closing probe), and without the persist Spark re-runs
+    the whole upstream edge-construction DAG per reference. On the sf0.1
+    co-purchase graph the two are statistically equal (interleaved A/B
+    17.0/16.2/17.2s vs 18.3/18.7/15.9s — edge construction is one cheap
+    self-join there and the wedge SMJ dominates), but when the edge list
+    is the output of an expensive pipeline the 3× recompute is the
+    scale-killer the persist exists to prevent."""
+    from pyspark import StorageLevel
+
+    from ..caching import register_persisted
+
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(
@@ -58,11 +72,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     a_first = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
-    oriented = withdeg.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-        F.when(a_first, F.struct(F.col("db").alias("d"), F.col("b").alias("n")))
-        .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
-        .alias("v"),
+    oriented = register_persisted(
+        withdeg.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(
+                a_first, F.struct(F.col("db").alias("d"), F.col("b").alias("n"))
+            )
+            .otherwise(F.struct(F.col("da").alias("d"), F.col("a").alias("n")))
+            .alias("v"),
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     e1 = oriented.select(F.col("u"), F.col("v").alias("v1"))
     e2 = oriented.select(F.col("u"), F.col("v").alias("v2"))
