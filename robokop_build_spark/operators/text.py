@@ -146,6 +146,80 @@ def repetition_stats(
     )
 
 
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-scored top-k document search for a FIXED small query-term list
+    (Robertson idf: ln(1 + (N - df + 0.5)/(df + 0.5))).
+
+    Shape chosen for both scale and cross-engine determinism:
+    - No explode and no inverted-index shuffle: with a bounded query-term
+      list, per-term tf is a per-row `size(filter(tokens, = term))` column
+      — the whole tf pass is narrow.
+    - Corpus statistics (N, total token count, per-term document
+      frequencies) are ONE global aggregate of exact integers, cross-joined
+      back as a one-row broadcast — so avgdl and idf come from single
+      divisions of exact ints, not order-dependent double sums.
+    - The score is a FIXED-ORDER sum of per-term contributions (term1 +
+      term2 + ...), never an agg over an unordered term set — summation
+      order is part of the cross-engine contract.
+    - Final top-k is orderBy+limit (TakeOrderedAndProject: per-partition
+      heaps, driver merges k rows, no global sort) with doc_id tie-break.
+    Two corpus scans total (tf pass feeds both the stats agg and the score
+    pass); rounding to 4dp absorbs last-ulp libm ln() differences."""
+    toks = F.split(F.lower(F.col(text_col)), " ")
+    base = docs.select(
+        F.col(id_col),
+        toks.alias("__toks"),
+        F.size(toks).cast("long").alias("__dl"),
+    )
+    def _tf(term):
+        # NB: a single-parameter lambda is load-bearing — F.filter passes
+        # (element, index) to any two-parameter callable, so the usual
+        # `lambda x, t=t:` default-arg closure trick silently binds the
+        # term to the INDEX column
+        return F.size(F.filter(F.col("__toks"), lambda x: x == F.lit(term)))
+
+    tf_cols = [
+        _tf(t).cast("long").alias(f"__tf{i}")
+        for i, t in enumerate(query_terms)
+    ]
+    tf = base.select(id_col, "__dl", *tf_cols)
+    stats = tf.agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__dl").alias("__tdl"),
+        *[
+            F.sum((F.col(f"__tf{i}") > 0).cast("long")).alias(f"__df{i}")
+            for i in range(len(query_terms))
+        ],
+    )
+    scored = tf.crossJoin(F.broadcast(stats))
+    n = F.col("__n").cast("double")
+    avgdl = F.col("__tdl").cast("double") / n
+    score = F.lit(0.0)
+    for i in range(len(query_terms)):
+        tf_i = F.col(f"__tf{i}").cast("double")
+        df_i = F.col(f"__df{i}").cast("double")
+        idf = F.log(
+            F.lit(1.0) + (n - df_i + F.lit(0.5)) / (df_i + F.lit(0.5))
+        )
+        norm = tf_i + F.lit(k1) * (
+            F.lit(1.0 - b) + F.lit(b) * F.col("__dl").cast("double") / avgdl
+        )
+        score = score + idf * tf_i * F.lit(k1 + 1.0) / norm
+    return (
+        scored.select(F.col(id_col), F.round(score, 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def fingerprint(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Document fingerprint: md5 of the normalized text (lowercase, strip
     non-alphanumerics to single spaces, trim) — the canonical key for exact

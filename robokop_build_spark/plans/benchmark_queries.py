@@ -1583,6 +1583,60 @@ GROUP BY node
 """
 
 
+BM25_TERMS = ["dup", "spark", "merge"]  # one rare (df~5%) + two common terms
+
+
+def text_bm25_topk(spark, sf_dir):
+    """BM25 top-20 over documents for a fixed 3-term query (see
+    operators/text.bm25_topk for the determinism/scale shape). The twin
+    states the identical fixed-order arithmetic in SQL."""
+    return T.bm25_topk(
+        _t(spark, sf_dir, "documents"), BM25_TERMS, "doc_id", "text", k=20
+    )
+
+
+def bm25_sql(terms: list[str], k: int = 20, k1: float = 1.2, b: float = 0.75) -> str:
+    """Generated DuckDB twin of bm25_topk: same per-term fixed-order sum,
+    same exact-integer corpus stats, same 4dp rounding."""
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> x = '{t}')) AS tf{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n    ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    score = " + ".join(
+        f"ln(1.0 + (CAST(n_docs AS DOUBLE) - CAST(df{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df{i} AS DOUBLE) + 0.5))"
+        f" * CAST(tf{i} AS DOUBLE) * {k1 + 1.0!r}"
+        f" / (CAST(tf{i} AS DOUBLE) + {k1!r} * ({1.0 - b!r} + {b!r}"
+        f" * CAST(dl AS DOUBLE) / (CAST(total_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))"
+        for i in range(len(terms))
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS toks,
+         CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS dl
+  FROM documents
+),
+tf AS (
+  SELECT doc_id, dl,
+    {tf_cols}
+  FROM base
+),
+stats AS (
+  SELECT count(*) AS n_docs, CAST(sum(dl) AS BIGINT) AS total_dl,
+    {df_cols}
+  FROM tf
+)
+SELECT doc_id, round({score}, 4) AS bm25
+FROM tf CROSS JOIN stats
+ORDER BY bm25 DESC, doc_id
+LIMIT {k}
+"""
+
+
 def a9_rollup_revenue(spark, sf_dir):
     """ROLLUP grouping sets: revenue at (flag, status), per-flag subtotal,
     and grand total in ONE pass (Spark expands grouping sets map-side; no
@@ -1702,6 +1756,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "range_window_join": range_window_join,
     "graph_triangles": graph_triangles,
+    "text_bm25_topk": text_bm25_topk,
     "a9_rollup_revenue": a9_rollup_revenue,
     "a10_percentiles": a10_percentiles,
 }
@@ -1848,6 +1903,7 @@ ORACLES = {
     "text_repetition": REPETITION_SQL,
     "range_window_join": RANGE_JOIN_SQL,
     "graph_triangles": TRIANGLES_SQL,
+    "text_bm25_topk": bm25_sql(BM25_TERMS),
     "a9_rollup_revenue": ROLLUP_SQL,
     "a10_percentiles": PERCENTILES_SQL,
 }

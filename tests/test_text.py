@@ -92,3 +92,48 @@ def test_repetition_stats_detects_boilerplate(spark):
     assert abs(got[1]["rep_ratio"] - (1 - 3 / 7)) < 1e-6
     assert got[2]["rep_ratio"] == 0.0
     assert (got[3]["n_grams"], got[3]["rep_ratio"]) == (0, 0.0)
+
+
+def test_bm25_topk_matches_scalar_reference(spark):
+    import math
+
+    from robokop_build_spark.operators.text import bm25_topk
+
+    corpus = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana banana"),
+        (3, "apple cherry cherry date"),
+        (4, "date date date date"),
+        (5, "apple"),
+    ]
+    terms, k1, b = ["apple", "cherry"], 1.2, 0.75
+
+    def bm25_py():
+        docs = {i: t.split(" ") for i, t in corpus}
+        n = len(docs)
+        avgdl = sum(len(w) for w in docs.values()) / n
+        df = {t: sum(1 for w in docs.values() if t in w) for t in terms}
+        out = {}
+        for i, w in docs.items():
+            s = 0.0
+            for t in terms:
+                tf = w.count(t)
+                idf = math.log(1 + (n - df[t] + 0.5) / (df[t] + 0.5))
+                s += idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * len(w) / avgdl))
+            out[i] = round(s, 4)
+        return out
+
+    df = spark.createDataFrame(corpus, ["doc_id", "text"])
+    got = {r["doc_id"]: r["bm25"] for r in bm25_topk(df, terms, k=5).collect()}
+    assert got == bm25_py()
+
+
+def test_bm25_topk_k_bound_and_tiebreak(spark):
+    from robokop_build_spark.operators.text import bm25_topk
+
+    # identical docs -> identical scores; top-k must take lowest doc_ids
+    df = spark.createDataFrame(
+        [(i, "apple pie") for i in range(10)], ["doc_id", "text"]
+    )
+    rows = bm25_topk(df, ["apple"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
