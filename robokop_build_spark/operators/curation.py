@@ -157,6 +157,75 @@ def decontaminate_ngrams(
     )
 
 
+def temperature_mix(
+    df: DataFrame,
+    strata_col: str = "source",
+    weight_col: str = "n_chars",
+    id_col: str = "doc_id",
+    temperature: float = 0.5,
+    budget_num: int = 2,
+    budget_den: int = 5,
+) -> DataFrame:
+    """Temperature-based corpus mixing: sample a budget_num/budget_den
+    fraction of the corpus with per-source quotas proportional to
+    (source weight)^T — the standard LLM data-mixing rule (T=1 keeps
+    natural proportions, T→0 flattens toward uniform; weights here are
+    total bytes/chars per source, the Pile/ROOTS convention).
+
+    Determinism contract (shared with the SQL twin):
+    - per-source weights are EXACT integer sums; the tempered weight
+      pow(c, T) is rounded to 6dp and summed as DECIMAL(18,6) — exact and
+      order-independent, so the normalizing total never rides on fp
+      summation order;
+    - the overall budget is integer arithmetic (count*num DIV den);
+    - quota_s = floor(budget * w_s / W) evaluated in double from those
+      exact inputs — identical IEEE ops in both engines;
+    - membership inside a source is md5-rank order (layout/rerun-stable).
+
+    Plan shape: one partial-agg groupBy to the per-source dim (tiny),
+    quotas broadcast back, one md5-rank window per source over the corpus
+    — a single corpus shuffle, same scale story as stratified_sample."""
+    w_dec = F.round(
+        F.pow(F.sum(F.col(weight_col)).cast("double"), F.lit(float(temperature))),
+        6,
+    ).cast("decimal(18,6)")
+    dim = df.groupBy(strata_col).agg(
+        w_dec.alias("__w"), F.count(F.lit(1)).alias("__n")
+    )
+    totals = dim.agg(
+        F.sum("__w").alias("__W"),
+        F.expr(f"(sum(__n) * {int(budget_num)}) DIV {int(budget_den)}").alias(
+            "__B"
+        ),
+    )
+    # totals derives from dim, so the cross join is a self-join — alias
+    # both sides to disambiguate the shared attribute lineage
+    quotas = (
+        dim.alias("d")
+        .crossJoin(F.broadcast(totals.alias("t")))
+        .select(
+            F.col(f"d.{strata_col}").alias(strata_col),
+            F.floor(
+                F.col("t.__B").cast("double")
+                * F.col("d.__w").cast("double")
+                / F.col("t.__W").cast("double")
+            )
+            .cast("long")
+            .alias("quota"),
+        )
+    )
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), id_col
+    )
+    return (
+        df.select(id_col, strata_col)
+        .withColumn("sample_rank", F.row_number().over(w).cast("long"))
+        .join(F.broadcast(quotas), strata_col)
+        .filter(F.col("sample_rank") <= F.col("quota"))
+        .select(id_col, strata_col, "sample_rank", "quota")
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     strata_col: str,

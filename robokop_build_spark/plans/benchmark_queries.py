@@ -1583,6 +1583,45 @@ GROUP BY node
 """
 
 
+def mix_temperature_sample(spark, sf_dir):
+    """Temperature-0.5 corpus mix at a 2/5 budget: per-source quotas
+    proportional to sqrt(total chars per source), membership by md5-rank
+    (operators/curation.temperature_mix)."""
+    return CU.temperature_mix(
+        _t(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    )
+
+
+MIX_SQL = """
+WITH dim AS (
+  SELECT source,
+         CAST(round(pow(CAST(sum(n_chars) AS DOUBLE), 0.5), 6) AS DECIMAL(18,6)) AS w,
+         count(*) AS n
+  FROM documents GROUP BY source
+),
+totals AS (
+  -- NB: DuckDB identifiers are case-insensitive, so the total can't be
+  -- named "W" alongside the per-source "w"
+  SELECT sum(w) AS wsum, (sum(n) * 2) // 5 AS budget FROM dim
+),
+quotas AS (
+  SELECT source,
+         CAST(floor(CAST(budget AS DOUBLE) * CAST(w AS DOUBLE) / CAST(wsum AS DOUBLE)) AS BIGINT) AS quota
+  FROM dim CROSS JOIN totals
+),
+ranked AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS sample_rank
+  FROM documents
+)
+SELECT r.doc_id, r.source, r.sample_rank, q.quota
+FROM ranked r JOIN quotas q USING (source)
+WHERE r.sample_rank <= q.quota
+"""
+
+
 BM25_TERMS = ["dup", "spark", "merge"]  # one rare (df~5%) + two common terms
 
 
@@ -1757,6 +1796,7 @@ QUERIES = {
     "range_window_join": range_window_join,
     "graph_triangles": graph_triangles,
     "text_bm25_topk": text_bm25_topk,
+    "mix_temperature_sample": mix_temperature_sample,
     "a9_rollup_revenue": a9_rollup_revenue,
     "a10_percentiles": a10_percentiles,
 }
@@ -1904,6 +1944,7 @@ ORACLES = {
     "range_window_join": RANGE_JOIN_SQL,
     "graph_triangles": TRIANGLES_SQL,
     "text_bm25_topk": bm25_sql(BM25_TERMS),
+    "mix_temperature_sample": MIX_SQL,
     "a9_rollup_revenue": ROLLUP_SQL,
     "a10_percentiles": PERCENTILES_SQL,
 }

@@ -165,3 +165,46 @@ def test_decontaminate_ngrams_counts_distinct_grams_once(spark):
     # contract counts DISTINCT grams: 4 grams, 1 contaminated
     [r] = decontaminate_ngrams(train, bench, n=4).collect()
     assert r["n_hits"] == 1 and r["n_grams"] == 4
+
+
+def test_temperature_mix_quotas_follow_tempered_weights(spark):
+    from robokop_build_spark.operators.curation import temperature_mix
+
+    # source a: 8 docs of 1000 chars; source b: 8 docs of 10 chars
+    rows = [(i, "a", 1000) for i in range(8)] + [
+        (100 + i, "b", 10) for i in range(8)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string, n_chars long")
+
+    def quotas(t):
+        out = temperature_mix(
+            df, temperature=t, budget_num=1, budget_den=2
+        ).collect()
+        q = {}
+        for r in out:
+            q[r["source"]] = r["quota"]
+        return q
+
+    # T=1: natural byte proportions -> a gets ~99% of budget (8 of 8 docs
+    # capped by quota 7: floor(8 * 8000/8080)=7), b gets 0
+    q1 = quotas(1.0)
+    assert q1["a"] == 7 and "b" not in q1  # b quota 0 -> no rows survive
+    # T=0.25: strongly flattened -> both sources get a share
+    # w_a = 8000^0.25 ~ 9.457, w_b = 80^0.25 ~ 2.990, budget 8:
+    # quota_a = floor(8*9.457/12.447) = 6, quota_b = floor(8*2.990/12.447) = 1
+    q0 = quotas(0.25)
+    assert q0 == {"a": 6, "b": 1}
+    # membership is md5-rank deterministic across layouts
+    again = temperature_mix(
+        df.repartition(5), temperature=0.25, budget_num=1, budget_den=2
+    )
+    a = sorted(map(tuple, again.collect()))
+    b = sorted(
+        map(
+            tuple,
+            temperature_mix(
+                df, temperature=0.25, budget_num=1, budget_den=2
+            ).collect(),
+        )
+    )
+    assert a == b
