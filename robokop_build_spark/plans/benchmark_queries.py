@@ -1583,6 +1583,83 @@ GROUP BY node
 """
 
 
+def dedup_cluster_canonical(spark, sf_dir):
+    """End-to-end dedup composition — the pass a real corpus actually
+    runs: LSH-verified near-dup PAIRS (same params as
+    dedup_neardup_verified) → connected components (pairs are transitive
+    evidence, clusters are what you deduplicate) → canonical-document
+    election (min doc_id per cluster) with a keep/drop flag per member.
+
+    Reuses the scale-adaptive CC from canonicalize.py (driver union-find
+    below 2M edges, large-star/small-star above — the same operator that
+    merges KG synonyms). The DuckDB twin runs the SAME pair query, then
+    min-label propagation unrolled to a fixed round count (components
+    flood to their min member; 16 rounds covers diameter 16 — near-dup
+    chains at oracle scale are 2-3 docs deep)."""
+    from ..operators.canonicalize import connected_components
+
+    pairs = D.lsh_verified_near_duplicates(
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.12,
+        num_hashes=None,
+        bands=8,
+        n_rows=_parquet_num_rows(os.path.join(sf_dir, "documents.parquet")),
+    )
+    cc = connected_components(
+        pairs.select(
+            F.col("id_a").cast("long").alias("src"),
+            F.col("id_b").cast("long").alias("dst"),
+        )
+    )
+    return cc.select(
+        F.col("curie").cast("long").alias("doc_id"),
+        F.col("rep").cast("long").alias("canonical_id"),
+        (F.col("curie").cast("long") == F.col("rep").cast("long")).alias(
+            "keep"
+        ),
+    )
+
+
+def cluster_canonical_sql(rounds: int = 16) -> str:
+    """Generated DuckDB twin: the verified-pair query as a subquery, then
+    `rounds` unrolled min-label-propagation CTEs (lbl_i(v) = min of own
+    and neighbors' lbl_{i-1}; fixed unroll mirrors pagerank_sql — DuckDB
+    recursive CTEs forbid aggregation in the recursive term)."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # TWICE, so default inlining would expand the plan 2^rounds-fold (and
+    # re-scan the parquet through the pairs subquery until fd exhaustion)
+    steps = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        steps.append(f""",
+l{i} AS MATERIALIZED (
+  SELECT p.node, least(p.lbl, coalesce(m.minl, p.lbl)) AS lbl
+  FROM {prev} p LEFT JOIN (
+    SELECT und.a AS node, min(q.lbl) AS minl
+    FROM und JOIN {prev} q ON q.node = und.b
+    GROUP BY und.a
+  ) m ON m.node = p.node
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT id_a, id_b FROM ({verified_sql(_oracle_num_hashes())}) vp
+),
+und AS MATERIALIZED (
+  SELECT id_a AS a, id_b AS b FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM und),
+l0 AS MATERIALIZED (SELECT node, node AS lbl FROM nodes){''.join(steps)}
+SELECT node AS doc_id, lbl AS canonical_id, node = lbl AS keep
+FROM {prev}
+"""
+
+
 def mix_temperature_sample(spark, sf_dir):
     """Temperature-0.5 corpus mix at a 2/5 budget: per-source quotas
     proportional to sqrt(total chars per source), membership by md5-rank
@@ -1797,6 +1874,7 @@ QUERIES = {
     "graph_triangles": graph_triangles,
     "text_bm25_topk": text_bm25_topk,
     "mix_temperature_sample": mix_temperature_sample,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
     "a9_rollup_revenue": a9_rollup_revenue,
     "a10_percentiles": a10_percentiles,
 }
@@ -1945,6 +2023,7 @@ ORACLES = {
     "graph_triangles": TRIANGLES_SQL,
     "text_bm25_topk": bm25_sql(BM25_TERMS),
     "mix_temperature_sample": MIX_SQL,
+    "dedup_cluster_canonical": cluster_canonical_sql(),
     "a9_rollup_revenue": ROLLUP_SQL,
     "a10_percentiles": PERCENTILES_SQL,
 }

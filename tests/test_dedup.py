@@ -157,3 +157,24 @@ def test_auto_minhash_rows_per_band_scaling():
     assert r(1_600_000) == 3   # SF=32
     assert r(100_000_000) == 4
     assert r(3_200_000_000) == 5
+
+
+def test_dedup_cluster_canonical_invariants(spark):
+    """Cluster election invariants at sf0.001: the canonical doc is the
+    min member of its cluster, exactly one member per cluster is kept,
+    and every member maps to a canonical that is itself kept."""
+    from robokop_build_spark.plans.benchmark_queries import (
+        dedup_cluster_canonical,
+    )
+
+    rows = dedup_cluster_canonical(spark, "/root/testdata/sf0.001").collect()
+    assert rows, "expected at least one near-dup cluster in the corpus"
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canonical_id"], []).append(r)
+    for canon, members in by_canon.items():
+        ids = [m["doc_id"] for m in members]
+        assert canon == min(ids)
+        assert sum(1 for m in members if m["keep"]) == 1
+        for m in members:
+            assert m["keep"] == (m["doc_id"] == canon)
