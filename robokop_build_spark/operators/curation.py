@@ -157,6 +157,52 @@ def decontaminate_ngrams(
     )
 
 
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    overlap: int = 32,
+) -> DataFrame:
+    """Sliding-window document chunking: split each document into
+    chunk_tokens-sized token windows advancing by (chunk_tokens - overlap)
+    — the context-window chunker that feeds sequence packing / embedding
+    indexing. A document shorter than one chunk yields exactly one chunk;
+    the final chunk may be short but every token is covered.
+
+    Entirely narrow (split → integer window arithmetic → explode → slice):
+    no shuffle, chunk count is pure integer math shared with the SQL twin
+    (no fp ceil at a boundary), and the chunk content surfaces as length +
+    md5 fingerprint rather than text so the output stays row-narrow at
+    corpus scale."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    step = chunk_tokens - overlap
+    words = F.split(F.lower(F.col(text_col)), " ")
+    n = F.size(words)
+    # integer ceil-div: floor((n - c + s - 1) / s) + 1; exact in double for
+    # any realistic token count, and the SQL twin uses // on the same ints
+    n_starts = (
+        F.when(n <= chunk_tokens, F.lit(1))
+        .otherwise(F.floor(((n - chunk_tokens) + (step - 1)) / step) + 1)
+        .cast("int")
+    )
+    exploded = df.select(
+        F.col(id_col),
+        words.alias("__w"),
+        F.explode(F.sequence(F.lit(0), n_starts - 1)).alias("chunk_seq"),
+    )
+    start = F.col("chunk_seq") * step
+    piece = F.slice(F.col("__w"), start + 1, chunk_tokens)
+    return exploded.select(
+        id_col,
+        F.col("chunk_seq").cast("long").alias("chunk_seq"),
+        start.cast("long").alias("start_tok"),
+        F.size(piece).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_md5"),
+    )
+
+
 def temperature_mix(
     df: DataFrame,
     strata_col: str = "source",

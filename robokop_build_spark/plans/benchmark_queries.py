@@ -1699,6 +1699,38 @@ WHERE r.sample_rank <= q.quota
 """
 
 
+def chunk_doc_windows(spark, sf_dir):
+    """Context-window chunking at 32 tokens / 8 overlap (docs here are
+    10-99 tokens -> 1-4 chunks each); see curation.chunk_documents."""
+    return CU.chunk_documents(
+        _t(spark, sf_dir, "documents"), chunk_tokens=32, overlap=8
+    )
+
+
+CHUNK_SQL = """
+WITH base AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS w,
+         len(string_split(lower(text), ' ')) AS n
+  FROM documents
+),
+counted AS (
+  SELECT doc_id, w,
+         CASE WHEN n <= 32 THEN 1
+              ELSE ((n - 32) + 23) // 24 + 1 END AS n_starts
+  FROM base
+),
+exploded AS (
+  SELECT doc_id, w, unnest(range(0, n_starts)) AS chunk_seq FROM counted
+)
+SELECT doc_id,
+       CAST(chunk_seq AS BIGINT) AS chunk_seq,
+       CAST(chunk_seq * 24 AS BIGINT) AS start_tok,
+       CAST(len(w[(chunk_seq * 24 + 1):(chunk_seq * 24 + 32)]) AS BIGINT) AS chunk_len,
+       md5(array_to_string(w[(chunk_seq * 24 + 1):(chunk_seq * 24 + 32)], ' ')) AS chunk_md5
+FROM exploded
+"""
+
+
 BM25_TERMS = ["dup", "spark", "merge"]  # one rare (df~5%) + two common terms
 
 
@@ -1875,6 +1907,7 @@ QUERIES = {
     "text_bm25_topk": text_bm25_topk,
     "mix_temperature_sample": mix_temperature_sample,
     "dedup_cluster_canonical": dedup_cluster_canonical,
+    "chunk_doc_windows": chunk_doc_windows,
     "a9_rollup_revenue": a9_rollup_revenue,
     "a10_percentiles": a10_percentiles,
 }
@@ -2024,6 +2057,7 @@ ORACLES = {
     "text_bm25_topk": bm25_sql(BM25_TERMS),
     "mix_temperature_sample": MIX_SQL,
     "dedup_cluster_canonical": cluster_canonical_sql(),
+    "chunk_doc_windows": CHUNK_SQL,
     "a9_rollup_revenue": ROLLUP_SQL,
     "a10_percentiles": PERCENTILES_SQL,
 }

@@ -208,3 +208,40 @@ def test_temperature_mix_quotas_follow_tempered_weights(spark):
         )
     )
     assert a == b
+
+
+def test_chunk_documents_closed_form(spark):
+    from robokop_build_spark.operators.curation import chunk_documents
+
+    # 10 tokens, chunk 4, overlap 1 -> step 3 -> starts 0,3,6 (ceil((10-4)/3)+1=3)
+    df = spark.createDataFrame(
+        [(1, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (2, "a b")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["chunk_seq"]): (r["start_tok"], r["chunk_len"])
+        for r in chunk_documents(df, chunk_tokens=4, overlap=1).collect()
+    }
+    assert got == {
+        (1, 0): (0, 4),
+        (1, 1): (3, 4),
+        (1, 2): (6, 4),
+        (2, 0): (0, 2),  # short doc: one (short) chunk
+    }
+    # every token covered: last chunk reaches token 9
+    import hashlib
+
+    from robokop_build_spark.operators.curation import chunk_documents as _cd
+
+    rows = {r["chunk_seq"]: r["chunk_md5"] for r in _cd(df, chunk_tokens=4, overlap=1).filter("doc_id = 1").collect()}
+    assert rows[2] == hashlib.md5(b"t6 t7 t8 t9").hexdigest()
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    import pytest as _pytest
+
+    from robokop_build_spark.operators.curation import chunk_documents
+
+    df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=4, overlap=4)
