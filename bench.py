@@ -20,6 +20,34 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+def _burn(q, seconds: float) -> None:
+    t0 = time.time()
+    n = 0
+    x = 1.0
+    while time.time() - t0 < seconds:
+        for _ in range(10000):
+            x = x * 1.0000001 % 97
+        n += 10000
+    q.put(n)
+
+
+def calibrate(workers: int, seconds: float = 1.5) -> float:
+    """Aggregate M iter/s the host delivers to `workers` busy processes —
+    the same pure-CPU probe scripts/scaling_run.py brackets Spark runs
+    with. Recorded pre+post in the bench JSON so a round-over-round delta
+    can be attributed to code vs the documented 2-3× host performance
+    waves (BENCH/BASELINE.md §0) without rerunning anything."""
+    import multiprocessing as mp
+
+    ctx = mp.get_context("fork")
+    q = ctx.Queue()
+    ps = [ctx.Process(target=_burn, args=(q, seconds)) for _ in range(workers)]
+    [p.start() for p in ps]
+    total = sum(q.get() for _ in ps)
+    [p.join() for p in ps]
+    return round(total / seconds / 1e6, 1)
+
+
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "j5_region_revenue",
@@ -157,6 +185,8 @@ def main() -> None:
     # performance waves on this sandbox inflate identical runs 2-3x
     # (BENCH/BASELINE.md §0), so the recorded figure is the min of two
     # independent builds, with both raw runs disclosed in the JSON
+    cal_pre = calibrate(int(cpus))
+
     kg_runs = []
     for i in range(2):
         work = f"/tmp/robokop_bench_work/sf{sf}_r{i}"
@@ -183,6 +213,8 @@ def main() -> None:
         spark.catalog.clearCache()
         jvm_gc()
 
+    cal_post = calibrate(int(cpus))
+
     total = round(sum(times.values()), 3)
     print(
         json.dumps(
@@ -196,6 +228,10 @@ def main() -> None:
                 "kg_triples_per_sec": round(n_triples / kg_sec, 2),
                 "kg_runs": kg_runs,
                 "cpus": int(cpus),
+                # pure-CPU host throughput bracketing the suite (M iter/s
+                # across `cpus` busy processes) — compare stamps before
+                # comparing round-over-round walls (host waves, §0)
+                "calibration_miter_s": {"pre": cal_pre, "post": cal_post},
             }
         )
     )
