@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 5
+ORACLE_FIXTURE_VERSION = 6
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)
@@ -171,6 +171,53 @@ def ensure_oracle_fixtures(sf: float, sf_dir: str) -> str:
                 ("width", pa.int64()),
                 ("height", pa.int64()),
                 ("f0", pa.float64()),
+            ]
+        ),
+    )
+
+    # expected audio features for the md5-bucket-0 slice of the DRIVER
+    # documents table, recomputed from the PCM sample rule WITHOUT the
+    # wave module or RIFF bytes — the Spark path must struct-encode a
+    # genuine WAV and wave-decode its way back to the same exact integers
+    from ..operators.multimodal import (
+        audio_int_features,
+        audio_params,
+        audio_samples,
+    )
+
+    drv_ids = pq.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id"]
+    ).column("doc_id").to_pylist()
+    audio_rows = []
+    for did in drv_ids:
+        if int(hashlib.md5(str(did).encode()).hexdigest()[:8], 16) % 4 != 0:
+            continue
+        ref = f"au:{did}"
+        n, rate = audio_params(ref)
+        s, p, z = audio_int_features(audio_samples(ref, n))
+        audio_rows.append(
+            {
+                "doc_id": int(did),
+                "audio_ref": ref,
+                "n_samples": n,
+                "sample_rate": rate,
+                "sum_sq": s,
+                "peak": p,
+                "zero_crossings": z,
+            }
+        )
+    _write(
+        os.path.join(out, "audio_features.parquet"),
+        audio_rows,
+        pa.schema(
+            [
+                ("doc_id", pa.int64()),
+                ("audio_ref", pa.string()),
+                ("n_samples", pa.int64()),
+                ("sample_rate", pa.int64()),
+                ("sum_sq", pa.int64()),
+                ("peak", pa.int64()),
+                ("zero_crossings", pa.int64()),
             ]
         ),
     )

@@ -12,9 +12,13 @@ either side of the codec breaks the hash compare. Round-4 upgrade: PNG joins the
 encoder/decoder with per-row filter reconstruction (all five PNG filter
 types are exercised: the fixture encoder cycles None/Sub/Up/Average/Paeth).
 Image spans alternate BMP/PNG deterministically by ref, so both codecs face
-the same bytes-free golden. Formats that genuinely need external libs
-(JPEG/audio) still raise NotImplementedError — swapping in PIL/ffmpeg
-touches exactly decode_media.
+the same bytes-free golden. Round-5 upgrade: AUDIO joins the genuinely-
+decoded set — struct-built RIFF/WAVE 16-bit PCM payloads decoded back with
+the stdlib `wave` parser (no shared code with the encoder), integer-exact
+features (energy/peak/zero-crossings) hash-gated against a golden that
+recomputes them from the PCM rule without touching bytes. Formats that
+genuinely need external libs (JPEG, MP3/Opus, video) still raise
+NotImplementedError — swapping in PIL/ffmpeg touches exactly decode_media.
 """
 
 from __future__ import annotations
@@ -223,6 +227,31 @@ def build_csv(media_ref: str) -> bytes:
     return ("\n".join(lines) + "\n").encode()
 
 
+def audio_params(media_ref: str) -> tuple[int, int]:
+    """Deterministic (n_samples, sample_rate) for an audio ref."""
+    d = hashlib.md5(f"{media_ref}:adims".encode()).digest()
+    return 64 + d[0], (8000, 16000)[d[1] % 2]  # 64..319 samples
+
+
+def audio_samples(media_ref: str, n: int) -> np.ndarray:
+    """Ground-truth int16 PCM samples (little-endian pairs of the md5
+    stream) — the rule shared with the bytes-free golden, like
+    media_pixels."""
+    raw = _md5_stream(f"{media_ref}:pcm", n * 2)
+    return np.frombuffer(raw, dtype="<i2").astype(np.int64)
+
+
+def build_wav(media_ref: str) -> bytes:
+    """Genuine RIFF/WAVE container: 16-bit PCM mono — 12-byte RIFF header,
+    16-byte fmt chunk, data chunk. Decoded back with the stdlib `wave`
+    module (a parser this encoder shares no code with)."""
+    n, rate = audio_params(media_ref)
+    data = audio_samples(media_ref, n).astype("<i2").tobytes()
+    fmt = struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    body = b"WAVE" + b"fmt " + fmt + b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def decode_media(payload: bytes, media_type: str) -> np.ndarray:
     """REAL decode for the three stdlib-decodable formats.
 
@@ -255,9 +284,21 @@ def decode_media(payload: bytes, media_type: str) -> np.ndarray:
         return np.asarray([ncols, len(lines)] + vals, dtype=np.float64)
     if media_type == "image/png":
         return _decode_png(bytes(payload))
+    if media_type == "audio/wav":
+        import io
+        import wave
+
+        with wave.open(io.BytesIO(bytes(payload))) as wf:
+            if wf.getsampwidth() != 2 or wf.getnchannels() != 1:
+                raise NotImplementedError("only 16-bit mono PCM supported")
+            rate = wf.getframerate()
+            frames = wf.readframes(wf.getnframes())
+        samples = np.frombuffer(frames, dtype="<i2").astype(np.float64)
+        return np.concatenate([[len(samples), rate], samples])
     raise NotImplementedError(
         f"decode for {media_type!r} requires a codec library not present "
-        "in this environment (JPEG/audio need PIL/ffmpeg); plumb it in here"
+        "in this environment (JPEG/MP3/video need PIL/ffmpeg); plumb it in "
+        "here — BMP/PNG/CSV/WAV decode genuinely above"
     )
 
 
@@ -315,6 +356,96 @@ def attach_media_payloads(spans: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+AUDIO_SCHEMA = (
+    "doc_id long, audio_ref string, payload binary, n_samples long, "
+    "sample_rate long"
+)
+AUDIO_FEATURE_SCHEMA = (
+    "doc_id long, audio_ref string, n_samples long, sample_rate long, "
+    "sum_sq long, peak long, zero_crossings long"
+)
+
+
+def attach_audio_payloads(docs: DataFrame) -> DataFrame:
+    """Audio attachments for a deterministic slice of documents (md5
+    bucket 0 of 4 — the object-storage read stand-in, like
+    attach_media_payloads): each selected doc carries ONE genuine RIFF/WAVE
+    16-bit PCM payload built from its ref."""
+    from .curation import hash_bucket
+
+    sel = docs.filter(hash_bucket(F.col("doc_id"), 4) == 0).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.concat(F.lit("au:"), F.col("doc_id").cast("string")).alias(
+            "audio_ref"
+        ),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, ns, rates = [], [], []
+            for ref in pdf["audio_ref"]:
+                n, rate = audio_params(ref)
+                payloads.append(build_wav(ref))
+                ns.append(n)
+                rates.append(rate)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "audio_ref": pdf["audio_ref"],
+                    "payload": payloads,
+                    "n_samples": ns,
+                    "sample_rate": rates,
+                }
+            )
+
+    return sel.mapInPandas(run, schema=AUDIO_SCHEMA)
+
+
+def audio_int_features(samples: np.ndarray) -> tuple[int, int, int]:
+    """Integer-exact audio features from int64 PCM samples: energy
+    (sum of squares), peak amplitude, strict-sign zero crossings. Exact
+    ints by construction — the cross-engine hash never rides on fp."""
+    sum_sq = int((samples * samples).sum())
+    peak = int(np.abs(samples).max()) if len(samples) else 0
+    zc = int(((samples[:-1] * samples[1:]) < 0).sum()) if len(samples) > 1 else 0
+    return sum_sq, peak, zc
+
+
+def extract_audio_features(media: DataFrame) -> DataFrame:
+    """Arrow-batched WAV decode + feature extraction: the stdlib `wave`
+    parser (no shared code with build_wav) must recover the exact PCM the
+    sample rule defines — the bytes-free golden recomputes the same
+    integer features straight from audio_samples()."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ns, rates, sums, peaks, zcs = [], [], [], [], []
+            for payload in pdf["payload"]:
+                dec = decode_media(bytes(payload), "audio/wav")
+                n, rate = int(dec[0]), int(dec[1])
+                s, p, z = audio_int_features(dec[2:].astype(np.int64))
+                ns.append(n)
+                rates.append(rate)
+                sums.append(s)
+                peaks.append(p)
+                zcs.append(z)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "audio_ref": pdf["audio_ref"],
+                    "n_samples": ns,
+                    "sample_rate": rates,
+                    "sum_sq": sums,
+                    "peak": peaks,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return media.select("doc_id", "audio_ref", "payload").mapInPandas(
+        run, schema=AUDIO_FEATURE_SCHEMA
+    )
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:

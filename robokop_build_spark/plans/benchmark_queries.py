@@ -201,6 +201,22 @@ def multimodal_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Relational / §2 operator queries over the driver tables (DuckDB oracles)
 # --------------------------------------------------------------------------
 
+def multimodal_audio_features(spark, sf_dir):
+    """Audio columns round-trip: a deterministic slice of documents gets a
+    GENUINE RIFF/WAVE 16-bit PCM payload (struct-built), which the stdlib
+    `wave` parser must decode back to integer-exact features (energy,
+    peak, zero crossings). The fixture-backed oracle recomputes those
+    features from the PCM rule without ever touching bytes — so a
+    container/endianness/framing bug on either side breaks the hash."""
+    from ..operators.multimodal import (
+        attach_audio_payloads,
+        extract_audio_features,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return extract_audio_features(attach_audio_payloads(docs))
+
+
 def a1_count_by_lang(spark, sf_dir):
     """A1 count-nodes-by-type shape: groupBy + count (map-side combine)."""
     return (
@@ -1861,6 +1877,7 @@ QUERIES = {
     "kg_contexts_mode": kg_contexts_mode,
     "kg_span_roundtrip": kg_span_roundtrip,
     "multimodal_media_features": multimodal_media_features,
+    "multimodal_audio_features": multimodal_audio_features,
     "a1_count_by_lang": a1_count_by_lang,
     "q1_pricing_summary": q1_pricing_summary,
     "j5_region_revenue": j5_region_revenue,
@@ -1958,6 +1975,10 @@ def fixture_backed_oracles() -> dict[str, str]:
     oracles["multimodal_media_features"] = (
         "SELECT doc_id, span_pos, media_ref, width, height, f0 "
         f"FROM read_parquet('{d}/media_features.parquet')"
+    )
+    oracles["multimodal_audio_features"] = (
+        "SELECT doc_id, audio_ref, n_samples, sample_rate, sum_sq, peak, "
+        f"zero_crossings FROM read_parquet('{d}/audio_features.parquet')"
     )
     # banded Hamming-distance join over the reference-implementation
     # signatures (4×16-bit pigeonhole chunks, distance ≤ 2)
