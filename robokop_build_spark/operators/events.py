@@ -114,6 +114,33 @@ def range_join(
     return pt.join(iv, cond).drop("__b")
 
 
+def scd2_intervals(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Slowly-changing-dimension (type 2) history from an event stream:
+    each event opens a validity interval that closes when the key's next
+    event arrives; the key's latest event stays open (valid_to = -1
+    sentinel — BIGINT on purpose, never a max-timestamp literal that two
+    engines might format differently).
+
+    One shuffle on the key, one lead() window — the standard CDC
+    interval-ization every warehouse build runs over ingested change
+    streams; the output joins back to facts with events.range_join."""
+    order = Window.partitionBy(key_col).orderBy(ts_col, id_col)
+    ts_us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    return events.select(
+        F.col(key_col),
+        F.col(id_col),
+        ts_us.alias("valid_from_us"),
+        F.coalesce(
+            F.lead(ts_us).over(order), F.lit(-1).cast("long")
+        ).alias("valid_to_us"),
+    )
+
+
 def sessionize(
     events: DataFrame,
     key_col: str = "user_id",

@@ -1259,6 +1259,20 @@ def streaming_sessionize(spark, sf_dir):
     )
 
 
+def scd2_event_intervals(spark, sf_dir):
+    """SCD2 interval-ization of the event stream (see
+    events.scd2_intervals); -1 closes the open tail interval."""
+    return EV.scd2_intervals(_t(spark, sf_dir, "events"))
+
+
+SCD2_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS valid_from_us,
+       coalesce(lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                CAST(-1 AS BIGINT)) AS valid_to_us
+FROM events
+"""
+
+
 def split_hash_buckets(spark, sf_dir):
     """Deterministic 80/10/10 split over documents by md5-bucket of the id."""
     return CU.train_test_split(_t(spark, sf_dir, "documents"))
@@ -1908,6 +1922,7 @@ QUERIES = {
     "asof_last_click": asof_last_click,
     "sessionize_events": sessionize_events,
     "streaming_sessionize": streaming_sessionize,
+    "scd2_event_intervals": scd2_event_intervals,
     "pagerank_order_parts": pagerank_order_parts,
     "split_hash_buckets": split_hash_buckets,
     "sample_per_lang": sample_per_lang,
@@ -2062,6 +2077,7 @@ ORACLES = {
     "asof_last_click": ASOF_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "streaming_sessionize": SESSIONIZE_SQL,
+    "scd2_event_intervals": SCD2_SQL,
     "pagerank_order_parts": pagerank_sql(),
     "split_hash_buckets": SPLIT_SQL,
     "sample_per_lang": SAMPLE_SQL,

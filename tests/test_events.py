@@ -164,3 +164,20 @@ def test_range_join_plan_is_equi_join_not_cartesian(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_scd2_intervals_chain_and_open_tail(spark):
+    from robokop_build_spark.operators.events import scd2_intervals
+
+    ev = _events(
+        spark,
+        [(1, 7, _ts(0)), (2, 7, _ts(10)), (3, 7, _ts(20)), (9, 8, _ts(5))],
+    )
+    got = {r["event_id"]: r for r in scd2_intervals(ev).collect()}
+    # intervals chain: each valid_to equals the next event's valid_from
+    assert got[1]["valid_to_us"] == got[2]["valid_from_us"]
+    assert got[2]["valid_to_us"] == got[3]["valid_from_us"]
+    # the latest event per key stays open (-1 sentinel)
+    assert got[3]["valid_to_us"] == -1
+    assert got[9]["valid_to_us"] == -1
+    assert got[1]["valid_from_us"] < got[1]["valid_to_us"]
