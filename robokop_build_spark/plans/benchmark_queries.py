@@ -1815,6 +1815,69 @@ LIMIT {k}
 """
 
 
+def a11_pivot_status(spark, sf_dir):
+    """Pivot: per-returnflag revenue spread across linestatus columns in
+    one pass. The explicit value list (`pivot(col, values)`) matters at
+    scale — without it Spark runs an extra distinct-scan job to discover
+    the columns; the twin states the same thing as conditional
+    aggregation, which is exactly what both engines lower pivot to."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = F.col("l_extendedprice").cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum(dec).cast("double"))
+        .select(
+            "l_returnflag",
+            F.coalesce("F", F.lit(0.0)).alias("rev_f"),
+            F.coalesce("O", F.lit(0.0)).alias("rev_o"),
+        )
+    )
+
+
+PIVOT_SQL = """
+SELECT l_returnflag,
+       coalesce(CAST(sum(CASE WHEN l_linestatus = 'F'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS rev_f,
+       coalesce(CAST(sum(CASE WHEN l_linestatus = 'O'
+                 THEN CAST(l_extendedprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0) AS rev_o
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def w5_moving_sum(spark, sf_dir):
+    """Rolling event-count and value sum per user over the trailing hour
+    (RANGE frame on epoch micros — a true time-range window, not a row
+    count). Value summed in per-row milli-units so the running total is
+    integer-exact across engines."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    milli = F.round(F.col("value") * 1000, 0).cast("long")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(ts_us)
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.count(F.lit(1)).over(w).cast("long").alias("n_trailing_hour"),
+        F.sum(milli).over(w).cast("long").alias("milli_trailing_hour"),
+    )
+
+
+MOVING_SQL = """
+SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+       CAST(count(*) OVER w AS BIGINT) AS n_trailing_hour,
+       CAST(sum(CAST(round(value * 1000, 0) AS BIGINT)) OVER w AS BIGINT)
+         AS milli_trailing_hour
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+"""
+
+
 def a9_rollup_revenue(spark, sf_dir):
     """ROLLUP grouping sets: revenue at (flag, status), per-flag subtotal,
     and grand total in ONE pass (Spark expands grouping sets map-side; no
@@ -1942,6 +2005,8 @@ QUERIES = {
     "chunk_doc_windows": chunk_doc_windows,
     "a9_rollup_revenue": a9_rollup_revenue,
     "a10_percentiles": a10_percentiles,
+    "a11_pivot_status": a11_pivot_status,
+    "w5_moving_sum": w5_moving_sum,
 }
 
 # --------------------------------------------------------------------------
@@ -2097,4 +2162,6 @@ ORACLES = {
     "chunk_doc_windows": CHUNK_SQL,
     "a9_rollup_revenue": ROLLUP_SQL,
     "a10_percentiles": PERCENTILES_SQL,
+    "a11_pivot_status": PIVOT_SQL,
+    "w5_moving_sum": MOVING_SQL,
 }
