@@ -1815,6 +1815,48 @@ LIMIT {k}
 """
 
 
+def j11_bucketed_colocated(spark, sf_dir):
+    """Fact-fact join over BUCKETED storage: orders and lineitem are
+    (re)written bucketBy(8, orderkey) + sortBy, and the revenue join then
+    plans with ZERO Exchange and ZERO Sort on either side — the layout
+    pays the shuffle once at ingest instead of on every query (the
+    100-TB lever for repeated fact joins; plan asserted in
+    tests/test_bucketed.py). Result identical to the plain shuffle join
+    the oracle states."""
+    from ..sources.bucketed import ensure_bucketed_pair
+
+    sfl = _sf_of(sf_dir)
+    tag = str(sfl).replace(".", "_")
+    o, li = ensure_bucketed_pair(
+        spark,
+        _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority"),
+        _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
+        f"bkt_orders_{tag}",
+        f"bkt_lineitem_{tag}",
+        f"/tmp/robokop_bucketed/sf{sfl}",
+        "o_orderkey",
+        "l_orderkey",
+    )
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("revenue"),
+        )
+    )
+
+
+J11_SQL = """
+SELECT o_orderpriority, count(*) AS n_items,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
 def a11_pivot_status(spark, sf_dir):
     """Pivot: per-returnflag revenue spread across linestatus columns in
     one pass. The explicit value list (`pivot(col, values)`) matters at
@@ -2007,6 +2049,7 @@ QUERIES = {
     "a10_percentiles": a10_percentiles,
     "a11_pivot_status": a11_pivot_status,
     "w5_moving_sum": w5_moving_sum,
+    "j11_bucketed_colocated": j11_bucketed_colocated,
 }
 
 # --------------------------------------------------------------------------
@@ -2164,4 +2207,5 @@ ORACLES = {
     "a10_percentiles": PERCENTILES_SQL,
     "a11_pivot_status": PIVOT_SQL,
     "w5_moving_sum": MOVING_SQL,
+    "j11_bucketed_colocated": J11_SQL,
 }
