@@ -157,6 +157,41 @@ def decontaminate_ngrams(
     )
 
 
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    id_col: str = "doc_id",
+    k: int = 100,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement (the
+    Efraimidis–Spirakis A-ES scheme): each row draws u ∈ (0,1) and ranks
+    by u^(1/w); the top-k ranks are a weight-proportional sample. The
+    "draw" is md5-derived from the id — so, like every sampler in this
+    module, membership is rerun/layout-stable and reproducible by any
+    engine with md5 (no RNG state, no partition-order dependence).
+
+    u = (md5_48(id) + 1) / 2^48 (never 0; 48 bits so the integer fits a
+    signed BIGINT in any engine), key = ln(u)/w maximized — stated in log
+    form because u^(1/w) underflows double for small u × small w, while
+    ln stays finite. One TakeOrderedAndProject top-k: no global sort,
+    per-partition heaps, driver merges k rows."""
+    u48 = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 12), 16, 10
+    ).cast("long")
+    # (u48 + 1) / 2^48 in double: exact-int numerator, one division
+    u = (u48 + F.lit(1)).cast("double") / F.lit(float(2**48))
+    key = F.log(u) / F.col(weight_col).cast("double")
+    return (
+        df.select(
+            F.col(id_col),
+            F.col(weight_col),
+            F.round(key, 12).alias("sample_key"),
+        )
+        .orderBy(F.col("sample_key").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1729,6 +1729,27 @@ WHERE r.sample_rank <= q.quota
 """
 
 
+def sample_weighted_docs(spark, sf_dir):
+    """Weighted (by n_chars) deterministic sample of 100 docs — the A-ES
+    exp-key scheme with md5-derived uniforms (curation.weighted_sample)."""
+    return CU.weighted_sample(
+        _t(spark, sf_dir, "documents").select("doc_id", "n_chars"),
+        "n_chars",
+        k=100,
+    )
+
+
+WEIGHTED_SQL = """
+SELECT doc_id, n_chars,
+       round(ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+                / 281474976710656.0)
+             / CAST(n_chars AS DOUBLE), 12) AS sample_key
+FROM documents
+ORDER BY sample_key DESC, doc_id
+LIMIT 100
+"""
+
+
 def chunk_doc_windows(spark, sf_dir):
     """Context-window chunking at 32 tokens / 8 overlap (docs here are
     10-99 tokens -> 1-4 chunks each); see curation.chunk_documents."""
@@ -2031,6 +2052,7 @@ QUERIES = {
     "pagerank_order_parts": pagerank_order_parts,
     "split_hash_buckets": split_hash_buckets,
     "sample_per_lang": sample_per_lang,
+    "sample_weighted_docs": sample_weighted_docs,
     "pack_token_shards": pack_token_shards,
     "text_langid": text_langid,
     "text_token_stats": text_token_stats,
@@ -2189,6 +2211,7 @@ ORACLES = {
     "pagerank_order_parts": pagerank_sql(),
     "split_hash_buckets": SPLIT_SQL,
     "sample_per_lang": SAMPLE_SQL,
+    "sample_weighted_docs": WEIGHTED_SQL,
     "pack_token_shards": PACK_SQL,
     "text_langid": LANGID_SQL,
     "text_token_stats": TOKEN_SQL,

@@ -245,3 +245,26 @@ def test_chunk_documents_rejects_bad_overlap(spark):
     df = spark.createDataFrame([(1, "a b")], "doc_id long, text string")
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=4, overlap=4)
+
+
+def test_weighted_sample_is_weight_proportional_and_deterministic(spark):
+    import math
+
+    from robokop_build_spark.operators.curation import weighted_sample
+
+    # two weight classes: heavy rows 10x more likely per A-ES
+    rows = [(i, 1000 if i < 200 else 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, n_chars long")
+    out = weighted_sample(df, "n_chars", k=100).collect()
+    heavy = sum(1 for r in out if r["n_chars"] == 1000)
+    # expectation ~91 heavy (10:1 odds per slot among 200/200); loose gate
+    assert heavy > 70
+    # deterministic across layouts
+    again = weighted_sample(df.repartition(7), "n_chars", k=100).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+    # key matches the closed form for a spot row
+    import hashlib as _h
+
+    r0 = next(r for r in out)
+    u = (int(_h.md5(str(r0["doc_id"]).encode()).hexdigest()[:12], 16) + 1) / 2**48
+    assert abs(r0["sample_key"] - round(math.log(u) / r0["n_chars"], 12)) < 1e-12
