@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 6
+ORACLE_FIXTURE_VERSION = 7
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)
@@ -220,6 +220,44 @@ def ensure_oracle_fixtures(sf: float, sf_dir: str) -> str:
                 ("zero_crossings", pa.int64()),
             ]
         ),
+    )
+
+    # expected 80-core of the part co-purchase graph, peeled by an
+    # independent pure-Python implementation (a data-dependent fixpoint
+    # has no fixed-unroll SQL twin; this is the same golden pattern as
+    # the KG triples)
+    li = pq.read_table(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_orderkey", "l_partkey"],
+    )
+    by_order: dict[int, set[int]] = {}
+    for ok_, pk in zip(
+        li.column("l_orderkey").to_pylist(), li.column("l_partkey").to_pylist()
+    ):
+        by_order.setdefault(ok_, set()).add(pk)
+    adj: dict[int, set[int]] = {}
+    for parts in by_order.values():
+        ps = sorted(parts)
+        for i, x in enumerate(ps):
+            for y in ps[i + 1 :]:
+                adj.setdefault(x, set()).add(y)
+                adj.setdefault(y, set()).add(x)
+    K = 80
+    while True:
+        drop = [n for n, nbrs in adj.items() if len(nbrs) < K]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    _write(
+        os.path.join(out, "kcore80.parquet"),
+        [
+            {"node": n, "core_deg": len(nbrs)}
+            for n, nbrs in sorted(adj.items())
+        ],
+        pa.schema([("node", pa.int64()), ("core_deg", pa.int64())]),
     )
 
     # simhash signatures of the DRIVER documents table (scalar reference)

@@ -105,6 +105,60 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
 
 
+def k_core(
+    edges: DataFrame,
+    k: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """The k-core of an undirected graph: the (unique) maximal subgraph in
+    which every node has degree ≥ k, via iterative peeling — drop all
+    nodes below k, remove their edges, repeat to fixpoint. Returns
+    (node, core_deg) for the surviving nodes.
+
+    The third fixpoint pattern in this module family: CC converges in
+    O(log n) rounds, PageRank runs a FIXED count, but peeling is
+    data-dependent (a path graph peels one layer per round), so the loop
+    is driver-driven with one scalar count() per round as the stop test,
+    and each round's edge set is localCheckpointed — without it the plan
+    gains two anti-joins per round and analysis time, not data, becomes
+    the wall. Per round: one partial-agg degree count + two anti-joins.
+    The oracle is an independent pure-Python peeler exported to parquet
+    (datagen/oracle_fixtures.py) — a data-dependent fixpoint has no
+    fixed-unroll SQL twin."""
+    a, b = F.col(src), F.col(dst)
+    e = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        deg = (
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        bad = deg.filter(F.col("deg") < k).select("node")
+        if bad.isEmpty():
+            break
+        e = (
+            e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    return (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

@@ -1941,6 +1941,25 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def graph_kcore(spark, sf_dir):
+    """80-core of the part co-purchase graph via iterative peeling
+    (operators/graph.k_core); oracled against an independent pure-Python
+    peeler exported to parquet (a data-dependent fixpoint has no
+    fixed-unroll SQL twin)."""
+    from ..operators.graph import k_core
+
+    lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    x, y = lp.alias("x"), lp.alias("y")
+    edges = x.join(
+        y,
+        (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+        & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+    ).select(
+        F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+    )
+    return k_core(edges, k=80)
+
+
 def a9_rollup_revenue(spark, sf_dir):
     """ROLLUP grouping sets: revenue at (flag, status), per-flag subtotal,
     and grand total in ONE pass (Spark expands grouping sets map-side; no
@@ -2063,6 +2082,7 @@ QUERIES = {
     "text_repetition": text_repetition,
     "range_window_join": range_window_join,
     "graph_triangles": graph_triangles,
+    "graph_kcore": graph_kcore,
     "text_bm25_topk": text_bm25_topk,
     "mix_temperature_sample": mix_temperature_sample,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -2124,6 +2144,9 @@ def fixture_backed_oracles() -> dict[str, str]:
     oracles["multimodal_audio_features"] = (
         "SELECT doc_id, audio_ref, n_samples, sample_rate, sum_sq, peak, "
         f"zero_crossings FROM read_parquet('{d}/audio_features.parquet')"
+    )
+    oracles["graph_kcore"] = (
+        f"SELECT node, core_deg FROM read_parquet('{d}/kcore80.parquet')"
     )
     # banded Hamming-distance join over the reference-implementation
     # signatures (4×16-bit pigeonhole chunks, distance ≤ 2)

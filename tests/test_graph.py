@@ -137,3 +137,62 @@ def test_triangle_count_hub_skew_matches_reference(spark):
         ).collect()
     }
     assert got == _triangles_py(edges)
+
+
+# ---------------------------------------------------------------------------
+# k_core
+# ---------------------------------------------------------------------------
+
+from robokop_build_spark.operators.graph import k_core  # noqa: E402
+
+
+def _kcore_py(edges, k):
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    while True:
+        drop = [n for n, v in adj.items() if len(v) < k]
+        if not drop:
+            break
+        for n in drop:
+            for m in adj[n]:
+                adj[m].discard(n)
+            del adj[n]
+    return {n: len(v) for n, v in adj.items()}
+
+
+def test_k_core_triangle_with_tail(spark):
+    # triangle is the 2-core; the tail peels away (in two rounds: the
+    # leaf first, then the now-degree-1 bridge)
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(
+            spark.createDataFrame(edges, ["src", "dst"]), k=2
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_k_core_empty_when_k_exceeds_max_degree(spark):
+    edges = [("a", "b"), ("b", "c")]
+    assert k_core(spark.createDataFrame(edges, ["src", "dst"]), k=3).count() == 0
+
+
+def test_k_core_matches_scalar_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(11)
+    edges = [
+        (f"n{rng.randrange(25)}", f"n{rng.randrange(25)}") for _ in range(120)
+    ]
+    got = {
+        r["node"]: r["core_deg"]
+        for r in k_core(
+            spark.createDataFrame(edges, ["src", "dst"]), k=4
+        ).collect()
+    }
+    assert got == _kcore_py(edges, 4)
