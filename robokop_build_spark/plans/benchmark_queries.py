@@ -1941,6 +1941,34 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
 """
 
 
+def u6_unpivot_measures(spark, sf_dir):
+    """Unpivot (wide → long): per-flag measure columns melt into
+    (measure, value) rows via Spark's native unpivot; the twin states the
+    portable UNION-ALL lowering."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    wide = li.groupBy("l_returnflag").agg(
+        F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+        F.sum(dec("l_extendedprice")).cast("double").alias("sum_price"),
+    )
+    return wide.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "measure", "value"
+    )
+
+
+U6_SQL = """
+WITH w AS (
+  SELECT l_returnflag,
+         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM w
+UNION ALL
+SELECT l_returnflag, 'sum_price' AS measure, sum_price AS value FROM w
+"""
+
+
 def graph_kcore(spark, sf_dir):
     """80-core of the part co-purchase graph via iterative peeling
     (operators/graph.k_core); oracled against an independent pure-Python
@@ -2092,6 +2120,7 @@ QUERIES = {
     "a11_pivot_status": a11_pivot_status,
     "w5_moving_sum": w5_moving_sum,
     "j11_bucketed_colocated": j11_bucketed_colocated,
+    "u6_unpivot_measures": u6_unpivot_measures,
 }
 
 # --------------------------------------------------------------------------
@@ -2254,4 +2283,5 @@ ORACLES = {
     "a11_pivot_status": PIVOT_SQL,
     "w5_moving_sum": MOVING_SQL,
     "j11_bucketed_colocated": J11_SQL,
+    "u6_unpivot_measures": U6_SQL,
 }

@@ -226,3 +226,43 @@ def test_ivf_assignment_broadcasts_centroids(spark):
     plan = _plan(ivf_topk(emb, emb.filter(F.col("vec_id") < 10), cents, k=5))
     assert "BroadcastHashJoin" in plan  # probe join on cid
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_plan_broadcasts_the_eval_gram_side(spark):
+    """The benchmark/eval gram set must ride as a broadcast — a shuffle of
+    the train side on a string gram key is the 100-TB failure mode."""
+    from robokop_build_spark.operators.curation import decontaminate_ngrams
+
+    train = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(50)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(99, "a b c d e")], "doc_id long, text string")
+    plan = (
+        decontaminate_ngrams(train, bench, n=4)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bm25_plan_has_no_explode_and_broadcasts_stats(spark):
+    """bm25_topk computes per-term tf as narrow array columns: no
+    Generate (explode) anywhere, corpus stats attached via broadcast, and
+    the top-k is TakeOrderedAndProject, not a global Sort."""
+    from robokop_build_spark.operators.text import bm25_topk
+
+    docs = spark.createDataFrame(
+        [(i, "apple banana cherry") for i in range(50)],
+        "doc_id long, text string",
+    )
+    plan = (
+        bm25_topk(docs, ["apple", "cherry"], k=5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Generate" not in plan  # no explode
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "TakeOrderedAndProject" in plan
