@@ -2023,6 +2023,56 @@ FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 
 
+def a12_cube_counts(spark, sf_dir):
+    """CUBE grouping sets (all four subsets of the two keys in one pass
+    — the exhaustive sibling of a9's ROLLUP)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("l_linestatus"),
+            "gid",
+            "n_rows",
+        )
+    )
+
+
+CUBE_SQL = """
+SELECT coalesce(l_returnflag, 'ALL') AS l_returnflag,
+       coalesce(l_linestatus, 'ALL') AS l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n_rows
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def u7_intersect_keys(spark, sf_dir):
+    """INTERSECT set op: order keys that appear both in the 1-URGENT
+    orders and in lineitems shipped after the epoch median — distinct
+    semantics on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("orderkey")
+    )
+    b = li.filter(F.col("l_linenumber") >= 3).select(
+        F.col("l_orderkey").alias("orderkey")
+    )
+    return a.intersect(b)
+
+
+U7_SQL = """
+SELECT o_orderkey AS orderkey FROM orders WHERE o_orderpriority = '1-URGENT'
+INTERSECT
+SELECT l_orderkey FROM lineitem WHERE l_linenumber >= 3
+"""
+
+
 def a10_percentiles(spark, sf_dir):
     """Exact interpolated per-group percentiles (Spark `percentile` ==
     DuckDB `quantile_cont`: both sort and linearly interpolate at
@@ -2121,6 +2171,8 @@ QUERIES = {
     "w5_moving_sum": w5_moving_sum,
     "j11_bucketed_colocated": j11_bucketed_colocated,
     "u6_unpivot_measures": u6_unpivot_measures,
+    "a12_cube_counts": a12_cube_counts,
+    "u7_intersect_keys": u7_intersect_keys,
 }
 
 # --------------------------------------------------------------------------
@@ -2284,4 +2336,6 @@ ORACLES = {
     "w5_moving_sum": MOVING_SQL,
     "j11_bucketed_colocated": J11_SQL,
     "u6_unpivot_measures": U6_SQL,
+    "a12_cube_counts": CUBE_SQL,
+    "u7_intersect_keys": U7_SQL,
 }
