@@ -149,7 +149,10 @@ def sessionize(
     gap_seconds: int = 1800,
 ) -> DataFrame:
     """Gap-based sessionization: a new session starts when the time since
-    the key's previous event exceeds gap_seconds. Returns one row per
+    the key's previous event reaches gap_seconds (boundary is `>= gap`,
+    matching Structured Streaming's session_window close rule exactly, so
+    the streaming twin in streaming/incremental.streaming_sessions agrees
+    even on an event landing precisely at the gap). Returns one row per
     session: key, session_seq (1-based per key), n_events, and epoch-micros
     start/end (BIGINT on purpose — cross-engine hash compares should never
     ride on timestamp string formatting).
@@ -168,7 +171,7 @@ def sessionize(
         "__new",
         F.when(
             F.lag(ts_us).over(order).isNull()
-            | ((ts_us - F.lag(ts_us).over(order)) > gap_us),
+            | ((ts_us - F.lag(ts_us).over(order)) >= gap_us),
             F.lit(1),
         ).otherwise(F.lit(0)),
     ).withColumn(

@@ -29,6 +29,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _symlink_staging(src: str, staging_dir: str) -> str:
+    """Expose a source parquet table (single file or directory of parts)
+    to a file-stream source WITHOUT copying any data: a staging dir of
+    symlinks. The file source lists the dir and reads through the links,
+    so the drain costs one directory listing, not an O(corpus) rewrite.
+    Returns the directory to point readStream at."""
+    os.makedirs(staging_dir, exist_ok=True)
+    src = os.path.abspath(src)
+    if os.path.isdir(src):
+        for fn in os.listdir(src):
+            if fn.endswith(".parquet"):
+                os.symlink(os.path.join(src, fn), os.path.join(staging_dir, fn))
+    else:
+        os.symlink(src, os.path.join(staging_dir, "part-00000.parquet"))
+    return staging_dir
+
+
 def _parquet_num_rows(path: str) -> int | None:
     """Exact row count from parquet footer metadata (no Spark job) — single
     files and Spark-written directories both. Returns None when unreadable
@@ -878,16 +895,22 @@ def streaming_minhash_dedup(spark, sf_dir):
 
     from ..streaming.incremental import streaming_lsh_candidates
 
-    # stable per-sf work dir, wiped at the START of the next invocation: the
-    # returned DataFrame stays LAZY over the sink files (candidate volume is
-    # O(n)·noise at corpus scale — 18M pairs measured at 1.6M docs — so a
-    # driver-side collect here would be a scale bug, not a convenience)
-    work = f"/tmp/robokop_stream_lsh/sf{_sf_of(sf_dir)}"
+    # per-sf AND per-pid work dir (concurrent runs — parallel pytest
+    # workers, a bench overlapping a driver run — must never clobber each
+    # other's sink/checkpoint), wiped at the START of this process's next
+    # invocation: the returned DataFrame stays LAZY over the sink files
+    # (candidate volume is O(n)·noise at corpus scale — 18M pairs measured
+    # at 1.6M docs — so a driver-side collect here would be a scale bug)
+    work = f"/tmp/robokop_stream_lsh/sf{_sf_of(sf_dir)}_pid{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     in_dir, out_dir, ck = (os.path.join(work, d) for d in ("in", "out", "ck"))
+    # the file stream reads the SOURCE table through a symlink staging view
+    # — zero data copied (the r5 wrapper rewrote the full corpus to /tmp
+    # first, an O(corpus) step a 100-TB deployment can't pay; there you
+    # point readStream at the source table's directory itself)
+    docs_src = _symlink_staging(os.path.join(sf_dir, "documents.parquet"), in_dir)
     docs = _t(spark, sf_dir, "documents")
-    docs.write.mode("overwrite").parquet(in_dir)
-    stream = spark.readStream.schema(docs.schema).parquet(in_dir)
+    stream = spark.readStream.schema(docs.schema).parquet(docs_src)
     q = (
         # max_bucket_ids=None: this wrapper is exactness-gated against the
         # batch self-join's DuckDB twin, and a trimmed bucket would both
@@ -1191,7 +1214,7 @@ SESSIONIZE_SQL = """
 WITH flagged AS (
   SELECT user_id, event_id, epoch_us(ts) AS ts_us,
          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
-                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w >= 1800000000
               THEN 1 ELSE 0 END AS new_s
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1227,7 +1250,12 @@ def streaming_sessionize(spark, sf_dir):
 
     from ..streaming.incremental import streaming_sessions
 
-    work = f"/tmp/robokop_stream_sess/sf{_sf_of(sf_dir)}"
+    # pid-keyed: concurrent runs on the same sf must not clobber each
+    # other's staged input/checkpoint/sink (staging is a real re-write
+    # here, NOT a symlink view: maxFilesPerTrigger=1 needs multiple part
+    # files so sessions genuinely cross micro-batch boundaries, and the
+    # source table is a single file)
+    work = f"/tmp/robokop_stream_sess/sf{_sf_of(sf_dir)}_pid{os.getpid()}"
     shutil.rmtree(work, ignore_errors=True)
     in_dir, out_dir, ck = (os.path.join(work, d) for d in ("in", "out", "ck"))
     ev = _t(spark, sf_dir, "events")
@@ -1854,7 +1882,10 @@ def j11_bucketed_colocated(spark, sf_dir):
         _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice"),
         f"bkt_orders_{tag}",
         f"bkt_lineitem_{tag}",
-        f"/tmp/robokop_bucketed/sf{sfl}",
+        # pid-keyed: the external bucketed layout is written once per
+        # session; two concurrent processes must not overwrite each
+        # other's bucket files mid-join
+        f"/tmp/robokop_bucketed/sf{sfl}_pid{os.getpid()}",
         "o_orderkey",
         "l_orderkey",
     )
@@ -2053,8 +2084,8 @@ FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 
 def u7_intersect_keys(spark, sf_dir):
     """INTERSECT set op: order keys that appear both in the 1-URGENT
-    orders and in lineitems shipped after the epoch median — distinct
-    semantics on both engines."""
+    orders and in lineitems with line number >= 3 (i.e. orders with at
+    least a third line) — distinct semantics on both engines."""
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(

@@ -57,25 +57,33 @@ class CheckpointManager:
     def snapshots(self, stage: str) -> list[dict]:
         """Commit history, oldest first: [{snapshot, ts, wall_sec, ...}].
 
-        Torn trailing lines are SKIPPED, not fatal: the history append is a
+        A torn FINAL line is SKIPPED, not fatal: the history append is a
         plain write (only the pointer swap is the atomic commit point), so a
-        crash mid-append leaves a half-written JSON line. Raising there would
-        make the stage permanently unwritable — commit() calls this to
+        crash mid-append leaves a half-written last JSON line. Raising there
+        would make the stage permanently unwritable — commit() calls this to
         allocate the next id — for a crash the commit contract explicitly
-        tolerates (the torn row's snapshot never became current)."""
+        tolerates (the torn row's snapshot never became current). An
+        undecodable line ANYWHERE ELSE is genuine corruption (partial disk
+        failure, concurrent writer) that must not silently vanish from the
+        audit surface, so it raises."""
         hist = os.path.join(self.path(stage), HISTORY)
         if not os.path.exists(hist):
             meta = self._pointer(stage)
             return [meta] if meta else []
-        out = []
         with open(hist) as f:
-            for ln in f:
-                if not ln.strip():
-                    continue
-                try:
-                    out.append(json.loads(ln))
-                except json.JSONDecodeError:
-                    continue  # torn mid-append row (crash window)
+            lines = [ln for ln in f if ln.strip()]
+        out = []
+        for i, ln in enumerate(lines):
+            try:
+                out.append(json.loads(ln))
+            except json.JSONDecodeError:
+                if i == len(lines) - 1:
+                    continue  # torn trailing append (crash window)
+                raise ValueError(
+                    f"corrupt snapshot history for stage {stage!r}: "
+                    f"undecodable line {i + 1} of {len(lines)} in {hist} "
+                    "(mid-file corruption, not a torn trailing append)"
+                )
         return out
 
     def _read_meta(self, stage: str, meta: dict) -> DataFrame:
@@ -148,6 +156,30 @@ class CheckpointManager:
             json.dump(meta, f)
         os.replace(tmp, os.path.join(p, MARKER))
 
+    def _repair_torn_tail(self, stage: str) -> None:
+        """Drop a half-written trailing history line (crash mid-append)
+        before the next append would bury it mid-file — snapshots() treats
+        mid-file garbage as genuine corruption and raises, so the repair
+        keeps the legitimate crash window from masquerading as one. Atomic
+        rewrite (tmp + os.replace): a crash during repair leaves either the
+        old or the repaired file, both valid."""
+        hist = os.path.join(self.path(stage), HISTORY)
+        if not os.path.exists(hist):
+            return
+        with open(hist) as f:
+            lines = [ln for ln in f if ln.strip()]
+        if not lines:
+            return
+        try:
+            json.loads(lines[-1])
+            return  # tail is healthy
+        except json.JSONDecodeError:
+            pass
+        tmp = hist + ".tmp"
+        with open(tmp, "w") as f:
+            f.writelines(ln if ln.endswith("\n") else ln + "\n" for ln in lines[:-1])
+        os.replace(tmp, hist)
+
     @staticmethod
     def _manifest_stats(data_dir: str) -> dict:
         """Iceberg-manifest-style per-snapshot stats from the written files'
@@ -177,6 +209,7 @@ class CheckpointManager:
         snapshot are unaffected — its files are never rewritten."""
         p = self.path(stage)
         os.makedirs(p, exist_ok=True)
+        self._repair_torn_tail(stage)
         self._migrate_legacy(stage)
         # allocate past the pointer, any orphaned history rows, AND any
         # snap-* directory on disk: a crash after the data write but before

@@ -232,9 +232,10 @@ def streaming_sessions(
     """Stateful session rollup on a live event stream via Spark's native
     session_window aggregation — the streaming twin of
     operators/events.sessionize (same 30-min-gap semantics on continuous
-    event times; session_window's boundary is strict `< gap` vs the batch
-    op's `<= gap`, indistinguishable off a measure-zero exact-gap case the
-    parity test asserts absent). Sessions that span micro-batches are
+    event times; both close a session on the `>= gap` boundary — the batch
+    op was aligned to session_window's rule so an event landing exactly at
+    the gap can never hash-diverge the two). Sessions that span
+    micro-batches are
     merged by the streaming state store — that cross-batch merge is
     exactly what the exactness gate exercises.
 

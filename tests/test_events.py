@@ -74,10 +74,12 @@ def test_sessionize_splits_on_gap(spark):
     assert s2["end_us"] - s2["start_us"] == 30 * 1_000_000
 
 
-def test_sessionize_exact_gap_is_same_session(spark):
+def test_sessionize_exact_gap_starts_new_session(spark):
+    # boundary is >= gap, aligned with session_window's close rule so the
+    # streaming twin can never hash-diverge on an exact-gap event
     ev = _events(spark, [(1, 7, _ts(0)), (2, 7, _ts(30))])  # exactly 1800s
     rows = sessionize(ev, gap_seconds=1800).collect()
-    assert len(rows) == 1 and rows[0]["n_events"] == 2
+    assert len(rows) == 2 and all(r["n_events"] == 1 for r in rows)
 
 
 def test_asof_join_plan_has_single_shuffle_no_cross_product(spark):
