@@ -24,6 +24,7 @@ from robokop_build_spark.plans.benchmark_queries import (
     ORACLES,
     QUERIES,
     fixture_backed_oracles,
+    lazy_oracles,
 )
 
 
@@ -38,5 +39,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
+    out.update(lazy_oracles())
     out.update(fixture_backed_oracles())
     return out

@@ -12,6 +12,7 @@ Determinism rules for the value-hash compare:
 
 from __future__ import annotations
 
+import functools
 import os
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1016,6 +1017,7 @@ def ann_embedding_neardup(spark, sf_dir):
     )
 
 
+@functools.lru_cache(maxsize=4)
 def _ivf_centroids_for(sf_dir: str, train_rows: int = 65_536) -> list[list[float]]:
     """Deterministic IVF coarse-quantizer training over (at most) the first
     train_rows vectors of the corpus — the bounded driver-side sample a
@@ -2309,6 +2311,29 @@ SELECT id_a, id_b, score FROM scored WHERE score >= 0.35
     return oracles
 
 
+def lazy_oracles() -> dict[str, str]:
+    """Twins that need to READ the oracle-compare corpus to generate their
+    SQL (today: ann_ivf_topk — centroids from the SAME k-means training rule
+    the operator uses, embedded as shared literals). Built at oracle_sql()
+    call time, never at import: an import-time read of DRIVER_SF_DIR would
+    make the whole query surface unimportable whenever that dir is missing,
+    and would pay the k-means work even for callers that never touch IVF.
+    Degrades by omission — the driver then records a rows-only check for
+    ann_ivf_topk instead of refusing to run everything else."""
+    try:
+        cents = _ivf_centroids_for(DRIVER_SF_DIR)
+        return {"ann_ivf_topk": ivf_sql(cents, _ivf_nprobe(len(cents)))}
+    except OSError as exc:
+        import sys
+
+        print(
+            f"[oracle] skipping ann_ivf_topk twin: cannot read embeddings "
+            f"under {DRIVER_SF_DIR} ({exc}); set SPARK_GRAFT_ORACLE_SF_DIR",
+            file=sys.stderr,
+        )
+        return {}
+
+
 ORACLES = {
     "a1_count_by_lang": A1_SQL,
     "q1_pricing_summary": Q1_SQL,
@@ -2334,11 +2359,6 @@ ORACLES = {
     "dedup_neardup_verified": DEDUP_VERIFIED_SQL,
     "streaming_minhash_dedup": DEDUP_MINHASH_SQL,
     "ann_cosine_topk": ANN_SQL,
-    # generated like the minhash twins: centroids from the SAME training
-    # rule over the oracle-compare corpus, embedded as shared literals
-    "ann_ivf_topk": ivf_sql(
-        _cents := _ivf_centroids_for(DRIVER_SF_DIR), _ivf_nprobe(len(_cents))
-    ),
     "asof_last_click": ASOF_SQL,
     "sessionize_events": SESSIONIZE_SQL,
     "streaming_sessionize": SESSIONIZE_SQL,
