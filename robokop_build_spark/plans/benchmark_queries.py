@@ -1018,13 +1018,19 @@ def ann_embedding_neardup(spark, sf_dir):
 
 
 @functools.lru_cache(maxsize=4)
-def _ivf_centroids_for(sf_dir: str, train_rows: int = 65_536) -> list[list[float]]:
-    """Deterministic IVF coarse-quantizer training over (at most) the first
-    train_rows vectors of the corpus — the bounded driver-side sample a
-    100-TB deployment would draw with a sample job. Shared by the Spark
-    query AND the generated DuckDB twin, so both engines search with
-    identical centroid constants (parity by shared literals, the
-    minhash_sql pattern)."""
+def _ivf_params_for(
+    sf_dir: str, train_rows: int = 65_536
+) -> tuple[list[list[float]], int, float, float]:
+    """Deterministic IVF coarse-quantizer training + recall-calibrated
+    probe depth over (at most) the first train_rows vectors of the corpus —
+    the bounded driver-side sample a 100-TB deployment would draw with a
+    sample job. Returns (centroids, nprobe, calibration_recall,
+    estimated_scan_fraction). Centroids AND nprobe are shared by the Spark
+    query and the generated DuckDB twin, so both engines search with
+    identical constants (parity by shared literals, the minhash_sql
+    pattern); nprobe comes from ivf_calibrate_nprobe's recall@5 ≥ 0.9
+    target instead of a fixed nlist/8 guess (round-5 verdict: the fixed
+    rule gave 0.62 recall on this weakly clustered corpus)."""
     import numpy as np
     import pyarrow.dataset as ds
 
@@ -1037,27 +1043,30 @@ def _ivf_centroids_for(sf_dir: str, train_rows: int = 65_536) -> list[list[float
     n_corpus = (
         _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")) or len(X)
     )
-    return SIM.ivf_train_centroids(X, SIM.auto_nlist(n_corpus))
+    cents = SIM.ivf_train_centroids(X, SIM.auto_nlist(n_corpus))
+    nprobe, cal_recall, scan_frac = SIM.ivf_calibrate_nprobe(X, cents, k=5)
+    return cents, nprobe, cal_recall, scan_frac
 
 
-def _ivf_nprobe(nlist: int) -> int:
-    return max(4, nlist // 8)
+def _ivf_centroids_for(sf_dir: str) -> list[list[float]]:
+    return _ivf_params_for(sf_dir)[0]
 
 
 def ann_ivf_topk(spark, sf_dir):
     """IVF ANN top-k — the cluster-pruned scale path next to the
     brute-force baseline (ann_cosine_topk) and hyperplane LSH: k-means
-    cells, nprobe-cell probes, exact cosine on the probed slice only.
-    Approximation is part of the operator's spec, and the DuckDB twin
-    replicates it exactly (same centroids, same tie rules), so the hash
-    gate is exact; recall vs the exact baseline is separately gated in
-    tests/test_similarity.py."""
-    cents = _ivf_centroids_for(sf_dir)
+    cells, recall-calibrated nprobe-cell probes, exact cosine on the
+    probed slice only (every candidate is scored exactly, so the probe
+    union IS the re-rank set). Approximation is part of the operator's
+    spec, and the DuckDB twin replicates it exactly (same centroids, same
+    nprobe, same tie rules), so the hash gate is exact; recall@5 ≥ 0.9 vs
+    the exact baseline is separately gated in tests/test_similarity.py
+    with the scan fraction reported."""
+    cents, nprobe, _, _ = _ivf_params_for(sf_dir)
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 10)
     return SIM.ivf_topk(
-        emb, queries, cents, "vec_id", "embedding", k=5,
-        nprobe=_ivf_nprobe(len(cents)),
+        emb, queries, cents, "vec_id", "embedding", k=5, nprobe=nprobe
     )
 
 
@@ -2321,8 +2330,8 @@ def lazy_oracles() -> dict[str, str]:
     Degrades by omission — the driver then records a rows-only check for
     ann_ivf_topk instead of refusing to run everything else."""
     try:
-        cents = _ivf_centroids_for(DRIVER_SF_DIR)
-        return {"ann_ivf_topk": ivf_sql(cents, _ivf_nprobe(len(cents)))}
+        cents, nprobe, _, _ = _ivf_params_for(DRIVER_SF_DIR)
+        return {"ann_ivf_topk": ivf_sql(cents, nprobe)}
     except OSError as exc:
         import sys
 

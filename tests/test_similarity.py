@@ -175,24 +175,31 @@ def test_ivf_topk_finds_near_dup_and_matches_exact_on_probed_cells(
     )
 
 
-def test_ivf_recall_gate_on_driver_corpus(spark):
-    """Recall@5 vs the exact baseline on the real sf0.001 corpus at the
-    default auto nlist/nprobe — gates the approximation quality honestly
-    (gaussian-mixture corpus, ~nprobe/nlist of it scanned per query)."""
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+def test_ivf_recall_gate_on_driver_corpus(spark, sf_dir):
+    """Recall@5 ≥ 0.9 vs the exact baseline on the real driver corpora at
+    the calibrated nlist/nprobe — gates the approximation quality honestly
+    and reports the scan fraction the target costs (this corpus is weakly
+    clustered unit gaussians, so 0.9 recall legitimately scans >50%; on a
+    clustered production corpus the same calibration rule lands a far
+    smaller fraction)."""
     from robokop_build_spark.operators import similarity as S
     from robokop_build_spark.plans import benchmark_queries as Q
 
-    sf_dir = "/root/testdata/sf0.001"
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(emb.vec_id < 10)
-    cents = Q._ivf_centroids_for(sf_dir)
-    ivf = S.ivf_topk(
-        emb, queries, cents, k=5, nprobe=Q._ivf_nprobe(len(cents))
-    )
+    cents, nprobe, cal_recall, scan_frac = Q._ivf_params_for(sf_dir)
+    assert cal_recall >= 0.9
+    ivf = S.ivf_topk(emb, queries, cents, k=5, nprobe=nprobe)
     exact = brute_force_topk(emb, queries, k=5)
     a = {(r["query_id"], r["neighbor_id"]) for r in ivf.collect()}
     e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
-    assert len(a & e) / len(e) >= 0.4, f"recall {len(a & e) / len(e)}"
+    recall = len(a & e) / len(e)
+    print(
+        f"ivf recall@5={recall:.3f} nprobe={nprobe}/{len(cents)} "
+        f"calibration_recall={cal_recall:.3f} scan_fraction={scan_frac:.3f}"
+    )
+    assert recall >= 0.9, f"recall {recall} (scan {scan_frac:.3f})"
 
 
 def test_ivf_kernels_agree(spark, emb_df, vecs):
