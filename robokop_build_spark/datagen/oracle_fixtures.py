@@ -23,7 +23,7 @@ import pyarrow.parquet as pq
 
 # bump when any generation rule here changes (independent of fixture data
 # version, which is folded into the directory key as well)
-ORACLE_FIXTURE_VERSION = 7
+ORACLE_FIXTURE_VERSION = 8
 
 # driver-facing flattened edge columns (arrays/maps stringified so the
 # cross-engine value hash sees identical primitives)
@@ -242,6 +242,27 @@ def ensure_oracle_fixtures(sf: float, sf_dir: str) -> str:
             for y in ps[i + 1 :]:
                 adj.setdefault(x, set()).add(y)
                 adj.setdefault(y, set()).add(x)
+    # full core decomposition of the SAME graph by Batagelj–Zaveršnik
+    # min-degree peeling — a different algorithm family from the h-index
+    # propagation the Spark operator uses, so parity is a genuine
+    # cross-check (computed before the 80-core peel mutates adj)
+    deg = {n: len(nbrs) for n, nbrs in adj.items()}
+    core: dict[int, int] = {}
+    kk = 0
+    while deg:
+        n = min(deg, key=lambda x: (deg[x], x))
+        kk = max(kk, deg[n])
+        core[n] = kk
+        for m in adj[n]:
+            if m in deg:
+                deg[m] -= 1
+        del deg[n]
+    _write(
+        os.path.join(out, "core_numbers.parquet"),
+        [{"node": n, "core": c} for n, c in sorted(core.items())],
+        pa.schema([("node", pa.int64()), ("core", pa.int64())]),
+    )
+
     K = 80
     while True:
         drop = [n for n, nbrs in adj.items() if len(nbrs) < K]

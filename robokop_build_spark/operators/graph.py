@@ -18,7 +18,7 @@ to 6dp on output.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -157,6 +157,77 @@ def k_core(
         .groupBy("node")
         .agg(F.count(F.lit(1)).cast("long").alias("core_deg"))
     )
+
+
+def core_number(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 200,
+) -> DataFrame:
+    """Full core decomposition: (node, core) where core is the largest k
+    such that the node survives in the k-core — the op corpus-graph users
+    actually ask for, amortizing what per-k peeling (k_core) pays per query.
+
+    Algorithm: distributed h-index propagation (Montresor/De Pellegrini/
+    Miorandi, "Distributed k-core decomposition", 2011). Every node starts
+    at its degree; each round replaces the estimate with
+    min(old, H(neighbor estimates)) where H is the h-index — the largest h
+    such that ≥ h neighbors hold estimate ≥ h. Estimates decrease
+    monotonically and the fixpoint is exactly the core number.
+
+    100-TB shape — the h-index WITHOUT per-node arrays: a hub with 10^6
+    neighbors must not collect_list 10^6 estimates into one row. Instead
+    each round is (1) one shuffle joining estimates onto the directed
+    neighbor table, (2) groupBy(node, neighbor_est).count() — map-side
+    combine collapses a hub's neighbor rows to at most its #distinct
+    estimate values (≤ max-core+1 once estimates tighten), (3) a per-node
+    cumulative window over estimate values descending, using the identity
+    h = max over distinct values t of min(t, count of neighbors with
+    est ≥ t). Rounds are data-dependent (a path graph tightens one node
+    per round from each end, same worst case as peeling) so the loop is
+    driver-driven with one scalar changed-count per round as the stop
+    test; per-round estimates are lineage-truncated like the peeling loop
+    (durable variant: pass the frame through CheckpointManager — see
+    plans/pipeline intermediates='auto')."""
+    a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    nbr = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint(eager=True)
+    )
+    est = (
+        nbr.groupBy("node")
+        .agg(F.count(F.lit(1)).cast("long").alias("est"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("nbr_est"))
+    for _ in range(max_iter):
+        h = (
+            nbr.join(
+                est.select(F.col("node").alias("nbr"), F.col("est").alias("nbr_est")),
+                "nbr",
+            )
+            .groupBy("node", "nbr_est")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("cum", F.sum("cnt").over(w))
+            .groupBy("node")
+            .agg(F.max(F.least(F.col("nbr_est"), F.col("cum"))).alias("h"))
+        )
+        new_est = est.join(h, "node").select(
+            "node", F.least(F.col("est"), F.col("h")).cast("long").alias("est"),
+            (F.col("h") < F.col("est")).cast("int").alias("__chg"),
+        ).localCheckpoint(eager=True)
+        changed = new_est.agg(F.sum("__chg")).first()[0] or 0
+        est = new_est.drop("__chg")
+        if changed == 0:
+            return est.select("node", F.col("est").alias("core"))
+    raise RuntimeError(f"core_number did not converge in {max_iter} rounds")
 
 
 def pagerank(

@@ -2018,16 +2018,33 @@ def graph_kcore(spark, sf_dir):
     fixed-unroll SQL twin)."""
     from ..operators.graph import k_core
 
+    return k_core(_copurchase_edges(spark, sf_dir), k=80)
+
+
+def _copurchase_edges(spark, sf_dir):
+    """Part co-purchase graph: parts sharing an order, upper triangle."""
     lp = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
     x, y = lp.alias("x"), lp.alias("y")
-    edges = x.join(
+    return x.join(
         y,
         (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
         & (F.col("x.l_partkey") < F.col("y.l_partkey")),
     ).select(
         F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
     )
-    return k_core(edges, k=80)
+
+
+def graph_core_number(spark, sf_dir):
+    """Full core decomposition of the part co-purchase graph — core number
+    per node via distributed h-index propagation (operators/graph.
+    core_number), the amortized answer to the per-k question graph_kcore
+    peels one k of. Oracled against an independent pure-Python
+    Batagelj–Zaveršnik min-degree peeler exported to parquet (different
+    algorithm family; a data-dependent fixpoint has no fixed-unroll SQL
+    twin)."""
+    from ..operators.graph import core_number
+
+    return core_number(_copurchase_edges(spark, sf_dir))
 
 
 def a9_rollup_revenue(spark, sf_dir):
@@ -2203,6 +2220,7 @@ QUERIES = {
     "range_window_join": range_window_join,
     "graph_triangles": graph_triangles,
     "graph_kcore": graph_kcore,
+    "graph_core_number": graph_core_number,
     "text_bm25_topk": text_bm25_topk,
     "mix_temperature_sample": mix_temperature_sample,
     "dedup_cluster_canonical": dedup_cluster_canonical,
@@ -2270,6 +2288,9 @@ def fixture_backed_oracles() -> dict[str, str]:
     )
     oracles["graph_kcore"] = (
         f"SELECT node, core_deg FROM read_parquet('{d}/kcore80.parquet')"
+    )
+    oracles["graph_core_number"] = (
+        f"SELECT node, core FROM read_parquet('{d}/core_numbers.parquet')"
     )
     # banded Hamming-distance join over the reference-implementation
     # signatures (4×16-bit pigeonhole chunks, distance ≤ 2)

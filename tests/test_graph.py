@@ -196,3 +196,88 @@ def test_k_core_matches_scalar_reference_on_random_graph(spark):
         ).collect()
     }
     assert got == _kcore_py(edges, 4)
+
+
+# ---------------------------------------------------------------------------
+# core_number (full decomposition)
+# ---------------------------------------------------------------------------
+
+from robokop_build_spark.operators.graph import core_number  # noqa: E402
+
+
+def _core_numbers_py(edges):
+    """Independent scalar reference: Batagelj–Zaveršnik min-degree peeling
+    (a different algorithm family from the h-index propagation under test)."""
+    adj = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    deg = {n: len(v) for n, v in adj.items()}
+    core = {}
+    k = 0
+    while deg:
+        n = min(deg, key=lambda x: (deg[x], str(x)))
+        k = max(k, deg[n])
+        core[n] = k
+        for m in adj[n]:
+            if m in deg:
+                deg[m] -= 1
+        del deg[n]
+    return core
+
+
+def test_core_number_triangle_with_tail(spark):
+    edges = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e")]
+    got = {
+        r["node"]: r["core"]
+        for r in core_number(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2, "d": 1, "e": 1}
+
+
+def test_core_number_matches_peeling_reference_on_random_graphs(spark):
+    import random
+
+    for seed, n, m in ((11, 25, 120), (23, 40, 90), (5, 15, 60)):
+        rng = random.Random(seed)
+        edges = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}") for _ in range(m)
+        ]
+        got = {
+            r["node"]: r["core"]
+            for r in core_number(
+                spark.createDataFrame(edges, ["src", "dst"])
+            ).collect()
+        }
+        want = _core_numbers_py(edges)
+        assert got == want, f"seed {seed}"
+
+
+def test_core_number_hub_skew_and_consistency_with_k_core(spark):
+    # hub + clique: the clique is the max core; the k-core at k must equal
+    # exactly the nodes whose core number is >= k, for every k
+    clique = [f"c{i}" for i in range(6)]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1:]]
+    edges += [("hub", c) for c in clique] + [("hub", f"s{i}") for i in range(8)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    cn = {r["node"]: r["core"] for r in core_number(df).collect()}
+    assert cn == _core_numbers_py(edges)
+    for k in (1, 2, 5, 6):
+        in_kcore = {r["node"] for r in k_core(df, k=k).collect()}
+        assert in_kcore == {n for n, c in cn.items() if c >= k}, f"k={k}"
+
+
+def test_core_number_path_graph_converges(spark):
+    # worst-case round count shape: estimates tighten inward from the ends
+    edges = [(f"p{i}", f"p{i+1}") for i in range(30)]
+    got = {
+        r["node"]: r["core"]
+        for r in core_number(
+            spark.createDataFrame(edges, ["src", "dst"])
+        ).collect()
+    }
+    assert set(got.values()) == {1}
