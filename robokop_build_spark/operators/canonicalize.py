@@ -94,6 +94,9 @@ def connected_components(
     strategy: str = "auto",
     local_threshold: int = 2_000_000,
     stats: dict | None = None,
+    manager=None,
+    stage: str = "connected_components",
+    commit_every: int = 0,
 ) -> DataFrame:
     """Undirected CC → (curie, rep) with rep = min member of the component.
 
@@ -105,7 +108,18 @@ def connected_components(
     convergence), each localCheckpointed to cut lineage — the driver
     fixpoint loop Catalyst cannot express (SURVEY.md §4 custom piece #2).
     Both paths produce the identical deterministic min-member mapping.
+
+    manager/stage/commit_every: optional durable loop checkpointing for
+    the distributed path (operators/iterate.LoopCheckpointer) — the
+    contracted edge set commits as a CheckpointManager snapshot every
+    commit_every rounds and a relaunched call resumes contraction from
+    there; the star fixpoint is unique, so the resumed output is
+    hash-identical (the resume pays one extra fingerprint round to
+    re-detect convergence).
     """
+    from .iterate import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(manager, stage, commit_every)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
@@ -126,14 +140,19 @@ def connected_components(
 
     import time
 
-    cur = e.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
+    start = 0
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start, cur = resumed
+    else:
+        cur = e.filter(F.col("src") != F.col("dst")).localCheckpoint(eager=True)
     prev_fp = None
     converged = False
     iter_secs: list[float] = []
     iter_edges: list[int] = []
-    for _ in range(max_iter):
+    for i in range(start, max_iter):
         t0 = time.time()
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        cur = ckpt.save(i, _small_star(_large_star(cur)))
         fp = _fingerprint(cur)
         iter_secs.append(round(time.time() - t0, 3))
         iter_edges.append(fp[0])
@@ -145,6 +164,7 @@ def connected_components(
         stats["iterations"] = len(iter_secs)
         stats["iter_secs"] = iter_secs
         stats["iter_edges"] = iter_edges
+        stats["resumed_from"] = start
     if not converged:
         # a partially-contracted mapping is silently wrong — fail loudly
         raise RuntimeError(

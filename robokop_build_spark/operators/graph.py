@@ -111,6 +111,10 @@ def k_core(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 200,
+    manager=None,
+    stage: str = "k_core",
+    commit_every: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """The k-core of an undirected graph: the (unique) maximal subgraph in
     which every node has degree ≥ k, via iterative peeling — drop all
@@ -126,15 +130,31 @@ def k_core(
     the wall. Per round: one partial-agg degree count + two anti-joins.
     The oracle is an independent pure-Python peeler exported to parquet
     (datagen/oracle_fixtures.py) — a data-dependent fixpoint has no
-    fixed-unroll SQL twin."""
+    fixed-unroll SQL twin.
+
+    manager/stage/commit_every: optional durable loop checkpointing
+    (operators/iterate.LoopCheckpointer) — every commit_every-th round's
+    edge set commits as a CheckpointManager snapshot, and a relaunched
+    call resumes peeling from the last committed round instead of round
+    zero (preemption safety at 100-TB scale; localCheckpoint blocks are
+    single-replica executor memory)."""
+    from .iterate import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(manager, stage, commit_every)
     a, b = F.col(src), F.col(dst)
-    e = (
-        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    for _ in range(max_iter):
+    start = 0
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start, e = resumed
+    else:
+        e = (
+            edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    rounds_run = 0
+    for i in range(start, max_iter):
         deg = (
             e.select(F.col("a").alias("node"))
             .unionByName(e.select(F.col("b").alias("node")))
@@ -144,13 +164,17 @@ def k_core(
         bad = deg.filter(F.col("deg") < k).select("node")
         if bad.isEmpty():
             break
-        e = (
+        e = ckpt.save(
+            i,
             e.join(bad.withColumnRenamed("node", "a"), "a", "left_anti")
-            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti")
-            .localCheckpoint(eager=True)
+            .join(bad.withColumnRenamed("node", "b"), "b", "left_anti"),
         )
+        rounds_run += 1
     else:
         raise RuntimeError(f"k_core did not converge in {max_iter} rounds")
+    if stats is not None:
+        stats["resumed_from"] = start
+        stats["rounds_run"] = rounds_run
     return (
         e.select(F.col("a").alias("node"))
         .unionByName(e.select(F.col("b").alias("node")))
@@ -164,6 +188,10 @@ def core_number(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 200,
+    manager=None,
+    stage: str = "core_number",
+    commit_every: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Full core decomposition: (node, core) where core is the largest k
     such that the node survives in the k-core — the op corpus-graph users
@@ -188,26 +216,40 @@ def core_number(
     per round from each end, same worst case as peeling) so the loop is
     driver-driven with one scalar changed-count per round as the stop
     test; per-round estimates are lineage-truncated like the peeling loop
-    (durable variant: pass the frame through CheckpointManager — see
-    plans/pipeline intermediates='auto')."""
+    (or durably committed — manager/stage/commit_every route the estimate
+    table through a CheckpointManager snapshot every commit_every rounds
+    so a relaunched run resumes from the last committed round; see
+    operators/iterate.LoopCheckpointer)."""
+    from .iterate import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(manager, stage, commit_every)
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    # static per-invocation table, deterministically re-derived from the
+    # input on a resumed run (only the evolving estimate table needs to be
+    # durable)
     nbr = (
         und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
         .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
         .localCheckpoint(eager=True)
     )
-    est = (
-        nbr.groupBy("node")
-        .agg(F.count(F.lit(1)).cast("long").alias("est"))
-        .localCheckpoint(eager=True)
-    )
+    start = 0
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start, est = resumed
+        est = est.select("node", "est")
+    else:
+        est = (
+            nbr.groupBy("node")
+            .agg(F.count(F.lit(1)).cast("long").alias("est"))
+            .localCheckpoint(eager=True)
+        )
     w = Window.partitionBy("node").orderBy(F.desc("nbr_est"))
-    for _ in range(max_iter):
+    for i in range(start, max_iter):
         h = (
             nbr.join(
                 est.select(F.col("node").alias("nbr"), F.col("est").alias("nbr_est")),
@@ -219,13 +261,20 @@ def core_number(
             .groupBy("node")
             .agg(F.max(F.least(F.col("nbr_est"), F.col("cum"))).alias("h"))
         )
-        new_est = est.join(h, "node").select(
-            "node", F.least(F.col("est"), F.col("h")).cast("long").alias("est"),
-            (F.col("h") < F.col("est")).cast("int").alias("__chg"),
-        ).localCheckpoint(eager=True)
+        new_est = ckpt.save(
+            i,
+            est.join(h, "node").select(
+                "node",
+                F.least(F.col("est"), F.col("h")).cast("long").alias("est"),
+                (F.col("h") < F.col("est")).cast("int").alias("__chg"),
+            ),
+        )
         changed = new_est.agg(F.sum("__chg")).first()[0] or 0
         est = new_est.drop("__chg")
         if changed == 0:
+            if stats is not None:
+                stats["resumed_from"] = start
+                stats["rounds_run"] = i - start + 1
             return est.select("node", F.col("est").alias("core"))
     raise RuntimeError(f"core_number did not converge in {max_iter} rounds")
 
@@ -237,6 +286,10 @@ def pagerank(
     iterations: int = 10,
     damping: float = 0.85,
     round_dp: int = 8,
+    manager=None,
+    stage: str = "pagerank",
+    commit_every: int = 0,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Fixed-iteration power-iteration PageRank.
 
@@ -250,9 +303,19 @@ def pagerank(
     count rather than fixpoint detection keeps the oracle replayable; CC in
     canonicalize.py shows the fingerprint-fixpoint pattern where
     convergence detection matters.
+
+    manager/stage/commit_every: optional durable loop checkpointing — the
+    rank table commits as a CheckpointManager snapshot (tagged with its
+    iteration) every commit_every rounds; a relaunched call resumes from
+    the last committed iteration with hash-identical output (ranks are
+    rounded to round_dp each round, and doubles round-trip parquet
+    bit-exactly). See operators/iterate.LoopCheckpointer.
     """
     from pyspark import StorageLevel
 
+    from .iterate import LoopCheckpointer
+
+    ckpt = LoopCheckpointer(manager, stage, commit_every)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -271,10 +334,16 @@ def pagerank(
     # reproduces the literals exactly (Python's round() is banker's and
     # must not leak into the contract)
     n_d = F.lit(float(n))
-    ranks = nodes.withColumn(
-        "rank", F.round(F.lit(1.0) / n_d, round_dp)
-    ).localCheckpoint(eager=True)
-    for _ in range(iterations):
+    start = 0
+    resumed = ckpt.resume()
+    if resumed is not None:
+        start, ranks = resumed
+        start = min(start, iterations)
+    else:
+        ranks = nodes.withColumn(
+            "rank", F.round(F.lit(1.0) / n_d, round_dp)
+        ).localCheckpoint(eager=True)
+    for i in range(start, iterations):
         contribs = (
             contrib_edges.join(
                 ranks.select(F.col("node").alias("src"), "rank"), "src"
@@ -282,18 +351,20 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum(F.col("rank") / F.col("out_deg")).alias("s"))
         )
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+        ranks = ckpt.save(
+            i,
+            nodes.join(contribs, "node", "left").select(
                 "node",
                 F.round(
                     F.lit(1.0 - damping) / n_d
                     + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
                     round_dp,
                 ).alias("rank"),
-            )
-            .localCheckpoint(eager=True)
+            ),
         )
+    if stats is not None:
+        stats["resumed_from"] = start
+        stats["rounds_run"] = iterations - start
     out = ranks.select("node", F.round("rank", 6).alias("rank"))
     nodes.unpersist()
     contrib_edges.unpersist()

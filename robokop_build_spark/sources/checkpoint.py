@@ -54,6 +54,12 @@ class CheckpointManager:
         with open(marker) as f:
             return json.load(f)
 
+    def current_meta(self, stage: str) -> dict | None:
+        """Metadata of the current committed snapshot (the pointer JSON:
+        snapshot id, schema, manifest stats, any extra_meta recorded at
+        commit) — None when the stage has never committed."""
+        return self._pointer(stage)
+
     def snapshots(self, stage: str) -> list[dict]:
         """Commit history, oldest first: [{snapshot, ts, wall_sec, ...}].
 
@@ -200,7 +206,11 @@ class CheckpointManager:
         return {"n_files": n_files, "n_rows": n_rows, "total_bytes": n_bytes}
 
     def commit(
-        self, stage: str, df: DataFrame, partition_by: list[str] | None = None
+        self,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        extra_meta: dict | None = None,
     ) -> DataFrame:
         """Write stage output as a NEW immutable snapshot, then atomically
         swap the pointer (commit point). Returns the re-read DataFrame so
@@ -239,6 +249,7 @@ class CheckpointManager:
             "wall_sec": round(time.time() - t0, 3),
             "schema": df.schema.json(),
             **self._manifest_stats(data_dir),
+            **(extra_meta or {}),
         }
         with open(os.path.join(p, HISTORY), "a") as f:
             f.write(json.dumps(meta) + "\n")
