@@ -473,7 +473,7 @@ def _link_batch(scan: _BatchScan, emb_map):
     if len(amb):
         m_row = scan.m_row
         amb_rows = sorted({m_row[i] for i in amb})
-        ctx = scan.context_vectors(amb_rows)
+        ctx = scan.context_vectors(amb_rows, dim=emb_dim(emb_map))
         row_ctx = {r: ctx[j] for j, r in enumerate(amb_rows)}
         for i in amb.tolist():
             cand, score = pick_candidate(
@@ -568,6 +568,18 @@ def featurize(text: str, dim: int = EMBED_DIM) -> np.ndarray:
     return vec
 
 
+def emb_dim(emb_map: dict[str, np.ndarray], default: int = EMBED_DIM) -> int:
+    """Context-vector width must follow the SUPPLIED embedding table — the
+    emb_map/featurize pair is the declared swap seam for real encoder
+    vectors (SURVEY §8 known-gap #2), and a production table is rarely
+    64-wide. The hashed-BoW stand-in featurizes at any width, so the only
+    thing the seam genuinely requires is that this dim plumb through to
+    every context_vectors/featurize call (parametrized-dim seam tests)."""
+    for v in emb_map.values():
+        return len(v)
+    return default
+
+
 def pick_candidate(
     candidates: tuple[Candidate, ...],
     context_vec: np.ndarray,
@@ -605,7 +617,7 @@ def link_mentions(
             out.append((m, m.candidates[0], 0.0))
             continue
         if ctx is None:
-            ctx = featurize(text)
+            ctx = featurize(text, dim=emb_dim(emb_map))
         cand, score = pick_candidate(m.candidates, ctx, emb_map)
         out.append((m, cand, score))
     return out
