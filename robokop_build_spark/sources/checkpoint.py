@@ -92,7 +92,16 @@ class CheckpointManager:
                 )
         return out
 
-    def _read_meta(self, stage: str, meta: dict) -> DataFrame:
+    def _commit_schema(self, meta: dict):
+        from pyspark.sql.types import StructType
+
+        if "schema" not in meta:
+            return None
+        return StructType.fromJson(json.loads(meta["schema"]))
+
+    def _read_meta(
+        self, stage: str, meta: dict, partitions: list[str] | None = None
+    ) -> DataFrame:
         p = self.path(stage)
         if meta.get("snapshot") is not None:
             p = os.path.join(p, f"snap-{meta['snapshot']}")
@@ -101,30 +110,69 @@ class CheckpointManager:
                     f"stage {meta['stage']!r} snapshot {meta['snapshot']} "
                     "data expired (see expire_snapshots)"
                 )
+        schema = self._commit_schema(meta)
+        # manifest-planned read paths (the Iceberg scan-planning half): the
+        # commit marker's stats say what the data layer holds, so a reader
+        # can skip it without listing anything —
+        # (a) a zero-row snapshot resolves to a LocalRelation: no directory
+        #     listing, no FileScan, no job;
+        # (b) a partition-scoped read scans exactly the partition dirs the
+        #     manifest names (absent = zero rows = skipped), never trusting
+        #     a directory listing that may see foreign/leftover dirs.
+        if schema is not None and meta.get("n_rows") == 0:
+            return self.spark.createDataFrame([], schema)
+        if partitions is not None:
+            manifest = meta.get("partitions")
+            if manifest is None:
+                raise ValueError(
+                    f"stage {stage!r} snapshot was not committed with "
+                    "partition_by; no partition manifest to plan from"
+                )
+            keep = [d for d in partitions if d in manifest]
+            if not keep:
+                if schema is None:
+                    raise ValueError(
+                        f"stage {stage!r}: no schema recorded; cannot build "
+                        "an empty frame for a fully-pruned partition read"
+                    )
+                return self.spark.createDataFrame([], schema)
+            reader = self.spark.read.option("basePath", p)
+            if schema is not None:
+                reader = reader.schema(schema)
+            return reader.parquet(*(os.path.join(p, d) for d in keep))
         reader = self.spark.read
-        if "schema" in meta:
+        if schema is not None:
             # schema recorded at commit time, applied explicitly: an empty
             # stage output writes zero part-files, and schema inference over
             # a fileless directory fails even though the stage legitimately
             # produced 0 rows (e.g. an end-bound query with no matches)
-            from pyspark.sql.types import StructType
-
-            reader = reader.schema(StructType.fromJson(json.loads(meta["schema"])))
+            reader = reader.schema(schema)
         return reader.parquet(p)
 
-    def read(self, stage: str, snapshot_id: int | None = None) -> DataFrame:
+    def read(
+        self,
+        stage: str,
+        snapshot_id: int | None = None,
+        partitions: list[str] | None = None,
+    ) -> DataFrame:
         """Read a committed stage — the current snapshot by default, or any
-        retained snapshot by id (time travel, with that commit's schema)."""
+        retained snapshot by id (time travel, with that commit's schema).
+
+        partitions: optional list of hive partition dirs (e.g.
+        ['pred=treats']) — the scan is planned from the commit marker's
+        partition manifest: named dirs absent from the manifest are skipped
+        as zero rows, present ones are read directly, and nothing is
+        discovered by listing the directory tree."""
         if snapshot_id is None:
             meta = self._pointer(stage)
             if meta is None:
                 raise FileNotFoundError(f"stage {stage!r} has no committed snapshot")
-            return self._read_meta(stage, meta)
+            return self._read_meta(stage, meta, partitions)
         # newest-first so a duplicate id (orphaned pre-crash history row)
         # resolves to the row whose schema matches the surviving data
         for meta in reversed(self.snapshots(stage)):
             if meta.get("snapshot") == snapshot_id:
-                return self._read_meta(stage, meta)
+                return self._read_meta(stage, meta, partitions)
         raise FileNotFoundError(
             f"stage {stage!r} has no snapshot {snapshot_id} (expired or never committed)"
         )
@@ -190,20 +238,37 @@ class CheckpointManager:
     def _manifest_stats(data_dir: str) -> dict:
         """Iceberg-manifest-style per-snapshot stats from the written files'
         parquet footers (metadata-only reads — no data scan, no Spark job):
-        file count, total bytes, exact row count. Recorded in the commit
-        marker so snapshots() doubles as a lineage/size audit surface."""
+        file count, total bytes, exact row count, plus the same rollup per
+        partition directory for partitioned commits. Recorded in the commit
+        marker so snapshots() doubles as a lineage/size audit surface AND
+        the read path can plan scans from the manifest instead of listing
+        directories (read(partitions=...) / the zero-row short-circuit)."""
         import pyarrow.parquet as pq
 
         n_files = n_rows = n_bytes = 0
+        parts: dict[str, dict] = {}
         for root, _dirs, files in os.walk(data_dir):
             for fn in files:
                 if not fn.endswith(".parquet"):
                     continue
                 full = os.path.join(root, fn)
+                rows = pq.ParquetFile(full).metadata.num_rows
+                size = os.path.getsize(full)
                 n_files += 1
-                n_bytes += os.path.getsize(full)
-                n_rows += pq.ParquetFile(full).metadata.num_rows
-        return {"n_files": n_files, "n_rows": n_rows, "total_bytes": n_bytes}
+                n_bytes += size
+                n_rows += rows
+                rel = os.path.relpath(root, data_dir)
+                if rel != ".":  # hive partition dir(s), e.g. pred=treats
+                    p = parts.setdefault(
+                        rel, {"n_files": 0, "n_rows": 0, "total_bytes": 0}
+                    )
+                    p["n_files"] += 1
+                    p["n_rows"] += rows
+                    p["total_bytes"] += size
+        stats = {"n_files": n_files, "n_rows": n_rows, "total_bytes": n_bytes}
+        if parts:
+            stats["partitions"] = dict(sorted(parts.items()))
+        return stats
 
     def commit(
         self,

@@ -182,3 +182,62 @@ def test_broadcast_budget_suffix_parsing(spark):
             assert _broadcast_budget_bytes(spark) == want, raw
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+# ---------------------------------------------------------------------------
+# manifest-planned reads: the stats in the commit marker drive the scan, not
+# directory listings (the Iceberg scan-planning half)
+# ---------------------------------------------------------------------------
+
+
+def _pdf(spark, rows):
+    return spark.createDataFrame(rows, ["pred", "x"])
+
+
+def test_zero_row_snapshot_reads_as_local_relation(spark, ckpt):
+    """n_rows == 0 in the manifest short-circuits to an empty local frame:
+    no directory listing, no FileScan in the plan, no Spark job."""
+    import pyspark.sql.functions as F
+
+    empty = _df(spark, [1]).filter(F.col("x") > 99)
+    out = ckpt.commit("e", empty)
+    assert ckpt.current_meta("e")["n_rows"] == 0
+    df = ckpt.read("e")
+    assert df.schema == empty.schema and df.count() == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+    assert out.count() == 0  # commit() itself returns the planned read
+
+
+def test_partition_scoped_read_plans_from_manifest_not_listing(spark, ckpt):
+    df = _pdf(spark, [("a", 1), ("a", 2), ("b", 3)])
+    ckpt.commit("t", df, partition_by=["pred"])
+    meta = ckpt.current_meta("t")
+    assert meta["partitions"]["pred=a"]["n_rows"] == 2
+    assert meta["partitions"]["pred=b"]["n_rows"] == 1
+
+    # plant a DECOY partition dir inside the snapshot: a listing-based
+    # reader would pick it up; the manifest-planned one must not
+    snap = os.path.join(ckpt.path("t"), f"snap-{meta['snapshot']}")
+    decoy = os.path.join(snap, "pred=zzz")
+    os.makedirs(decoy)
+    _pdf(spark, [("zzz", 99)]).drop("pred").write.parquet(
+        os.path.join(decoy, "junk")
+    )
+
+    got = ckpt.read("t", partitions=["pred=a", "pred=zzz"])
+    assert sorted((r["pred"], r["x"]) for r in got.collect()) == [
+        ("a", 1), ("a", 2),
+    ]
+    # fully-pruned selection: every requested dir absent from the manifest
+    none = ckpt.read("t", partitions=["pred=zzz"])
+    assert none.count() == 0
+    assert set(none.columns) == {"pred", "x"}
+    plan = none._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan and "Scan parquet" not in plan
+
+
+def test_partition_read_on_unpartitioned_stage_raises(spark, ckpt):
+    ckpt.commit("u", _df(spark, [1]))
+    with pytest.raises(ValueError, match="partition manifest"):
+        ckpt.read("u", partitions=["pred=a"])
