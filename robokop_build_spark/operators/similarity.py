@@ -426,6 +426,134 @@ def ivf_calibrate_nprobe(
     return nlist, 1.0, 1.0  # unreachable; loop always returns
 
 
+def ivf_assign(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cid) cell assignment of a corpus under the matmul kernel's
+    exact rule (6dp-rounded L2, stable argmin → lowest cid) — the reusable
+    half of ivf_topk's corpus pass, also needed by exact calibration for
+    per-cell population counts."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    csq = (C**2).sum(axis=1)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = np.round(
+                    (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
+                )
+                yield pd.DataFrame(
+                    {"id": pdf[id_col], "cid": d.argmin(axis=1).astype("int32")}
+                )
+            else:
+                yield pd.DataFrame({"id": pdf[id_col], "cid": pd.Series([], dtype="int32")})
+
+    id_t = dict(embeddings.dtypes)[id_col]
+    return embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"id {id_t}, cid int"
+    )
+
+
+def ivf_calibrate_nprobe_exact(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    target_recall: float = 0.9,
+    margin: float = 0.02,
+    n_calibration: int = 128,
+    n_rows: int | None = None,
+) -> tuple[int, float, float]:
+    """Exact (corpus-truth) probe-depth calibration — the production path
+    for corpora much larger than the training sample.
+
+    The in-sample estimator (ivf_calibrate_nprobe) is measured to drift
+    once corpus >> sample AND the drift direction depends on corpus
+    structure (at 640k vectors / 65k sample: unclustered corpus measured
+    recall 0.64-0.84 against an in-sample estimate of 0.92 — k-means
+    groups sample points that happen to be close, so sample neighbors are
+    biased toward shared cells; clustered corpus generalized fine, and a
+    held-out split over-probed it 1.8x instead — BENCH §0i). The only
+    estimator that cannot drift is ground truth: run the DISTRIBUTED
+    exact top-k for ~n_calibration hash-strided queries (ONE corpus pass,
+    the same scan any index build already pays for assignment), collect
+    the (query, true-neighbor) pairs plus the neighbors' cell assignments
+    and per-cell populations (one narrow aggregate), and walk nprobe up
+    the TRUE recall curve driver-side. Per index build this costs two
+    corpus passes and returns a (nprobe, recall, scan_fraction) that is
+    exact by construction — what FAISS-style systems report as
+    recall@nprobe. Deterministic throughout (hash-strided query choice,
+    the kernels' 6dp/stable tie rules), so the result is a shareable
+    literal like the centroid table."""
+    import numpy as np
+
+    spark_n = n_rows if n_rows is not None else _estimated_rows(embeddings)
+    step = max(1, spark_n // n_calibration)
+    q = embeddings.filter(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(step)) == 0
+    )
+    truth = brute_force_topk(embeddings, q, id_col, vec_col, k=k).collect()
+    if not truth:
+        return len(centroids), 1.0, 1.0
+    nbr_ids = sorted({r["neighbor_id"] for r in truth})
+    C = np.asarray(centroids, dtype=np.float64)
+    nlist = len(C)
+    csq = (C**2).sum(axis=1)
+
+    def cells_of(rows):
+        X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+        d = np.round((X**2).sum(1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6)
+        return d
+
+    nbr_rows = embeddings.filter(F.col(id_col).isin(nbr_ids)).select(
+        id_col, vec_col
+    ).collect()
+    nbr_cell = {
+        r[id_col]: int(c)
+        for r, c in zip(nbr_rows, cells_of(nbr_rows).argmin(axis=1))
+    }
+    q_rows = q.select(id_col, vec_col).collect()
+    dq = cells_of(q_rows)
+    probe_order = {
+        r[id_col]: np.argsort(dq[i], kind="stable")
+        for i, r in enumerate(q_rows)
+    }
+    pop = dict.fromkeys(range(nlist), 0)
+    for row in (
+        ivf_assign(embeddings, centroids, id_col, vec_col)
+        .groupBy("cid").count().collect()
+    ):
+        pop[int(row["cid"])] = int(row["count"])
+    by_q: dict = {}
+    for r in truth:
+        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    goal = min(1.0, target_recall + margin)
+    total = sum(len(v) for v in by_q.values())
+    for nprobe in range(1, nlist + 1):
+        hits = sum(
+            sum(1 for nb in nbs if nbr_cell[nb] in set(probe_order[qid][:nprobe]))
+            for qid, nbs in by_q.items()
+        )
+        recall = hits / total
+        if recall >= goal or nprobe == nlist:
+            scanned = sum(
+                sum(pop[int(c)] for c in probe_order[qid][:nprobe])
+                for qid in by_q
+            )
+            return nprobe, float(recall), float(
+                scanned / (len(by_q) * max(spark_n, 1))
+            )
+    return nlist, 1.0, 1.0  # unreachable
+
+
 def _l2sq(a, b):
     """Squared L2 distance as a sequential fold (same arithmetic order as
     the DuckDB twin's list_reduce, so rounded values match exactly)."""
