@@ -566,6 +566,133 @@ def _l2sq(a, b):
     return F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
 
 
+def _probe_pairs(
+    queries: DataFrame,
+    centroids: list[list[float]],
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, qvec, cid) — each query expanded to its nprobe nearest
+    cells under the matmul kernel's exact rule (6dp-rounded L2, stable
+    argsort → lower cid on ties); pinned equal to the fold kernel by
+    test_ivf_kernels_agree."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    csq = (C**2).sum(axis=1)
+
+    def probe(batches):
+        for pdf in batches:
+            rows = {"query_id": [], "qvec": [], "cid": []}
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = np.round(
+                    (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
+                )
+                order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+                for i in range(len(pdf)):
+                    for cc in order[i]:
+                        rows["query_id"].append(pdf[id_col].iat[i])
+                        rows["qvec"].append(pdf[vec_col].iat[i])
+                        rows["cid"].append(int(cc))
+            yield pd.DataFrame(rows)
+
+    vec_t = dict(queries.dtypes)[vec_col]
+    id_t = dict(queries.dtypes)[id_col]
+    return queries.select(id_col, vec_col).mapInPandas(
+        probe, schema=f"query_id {id_t}, qvec {vec_t}, cid int"
+    )
+
+
+def ivf_build_index(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    manager,
+    stage: str = "ivf_index",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Persist the IVF inverted file: the corpus with its cell assignment,
+    committed as a CheckpointManager snapshot PARTITIONED BY cid — the
+    100-TB shape ivf_topk's docstring promises ("write the assignment
+    partitioned BY cid so a probe prunes partitions at the scan"), made
+    real. The commit is atomic (snapshot + pointer swap), re-buildable
+    without disturbing readers of the previous index (snapshot isolation),
+    and the marker carries per-cell manifest stats — which is exactly what
+    lets ivf_topk_indexed plan a probe scan WITHOUT listing the directory
+    tree. Pay one corpus pass + one partitioned write per index build;
+    every query after that reads nprobe/nlist of the data from disk
+    instead of scanning and re-assigning the corpus per query batch."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.asarray(centroids, dtype=np.float64)
+    csq = (C**2).sum(axis=1)
+    vec_t = dict(embeddings.dtypes)[vec_col]
+    id_t = dict(embeddings.dtypes)[id_col]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                d = np.round(
+                    (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
+                )
+                yield pdf.assign(cid=d.argmin(axis=1).astype("int32"))
+            else:
+                yield pdf.assign(cid=pd.Series([], dtype="int32"))
+
+    assigned = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} {id_t}, {vec_col} {vec_t}, cid int"
+    )
+    return manager.commit(stage, assigned, partition_by=["cid"])
+
+
+def ivf_topk_indexed(
+    manager,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    stage: str = "ivf_index",
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF top-k over a PERSISTED index (ivf_build_index): expand queries
+    to their nprobe cells, then read ONLY those cells' partitions through
+    the commit marker's manifest (CheckpointManager.read(partitions=...) —
+    no directory listing, absent cells skipped as zero rows) and run the
+    exact cosine + per-query top-k on that slice. Same (distance, cid) and
+    (score desc, neighbor_id) tie rules as ivf_topk, so for identical
+    centroids/nprobe the two return identical rows (pinned by test); the
+    difference is purely physical — the corpus scan is partition-pruned
+    I/O on a prebuilt table instead of a full scan plus per-batch
+    re-assignment."""
+    q = _probe_pairs(queries, centroids, nprobe, id_col, vec_col)
+    # the probed-cell set is bounded by nlist (dimension-sized), so the
+    # driver-side collect here is a constant, never corpus-scale
+    cids = sorted(r["cid"] for r in q.select("cid").distinct().collect())
+    corpus = manager.read(stage, partitions=[f"cid={c}" for c in cids]).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        "cid",
+    )
+    scored = (
+        corpus.join(F.broadcast(q), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("score", F.round(cosine_expr(F.col("qvec"), F.col("nvec")), 6))
+        .select("query_id", "neighbor_id", "score")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "score")
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     queries: DataFrame,
