@@ -338,7 +338,15 @@ def pagerank(
     resumed = ckpt.resume()
     if resumed is not None:
         start, ranks = resumed
-        start = min(start, iterations)
+        if start > iterations:
+            # a checkpoint from a LONGER run: silently returning its ranks
+            # as the requested shorter result would be wrong values with a
+            # matching schema — fail loudly like the peeling loops do
+            raise ValueError(
+                f"pagerank stage {stage!r} holds iteration {start - 1}, past "
+                f"the requested iterations={iterations}; use a fresh stage "
+                "or request at least that many iterations"
+            )
     else:
         ranks = nodes.withColumn(
             "rank", F.round(F.lit(1.0) / n_d, round_dp)

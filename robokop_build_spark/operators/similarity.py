@@ -360,6 +360,23 @@ def ivf_train_centroids(
     return [[float(v) for v in row] for row in np.round(cents, 6)]
 
 
+def _cell_distances(X, C):
+    """The ONE cell-distance kernel every IVF code path shares: 6dp-rounded
+    squared L2 of each row of X to each centroid (argmin / stable argsort
+    over it = the assignment and probe tie rules). Centralized because the
+    bit-exact parity between the live operator, the persisted index, the
+    calibrators, and the generated DuckDB twin all ride on this exact
+    arithmetic — a drifted copy would break them silently."""
+    import numpy as np
+
+    X = np.asarray(X, dtype=np.float64)
+    C = np.asarray(C, dtype=np.float64)
+    return np.round(
+        (X**2).sum(axis=1)[:, None] + (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T),
+        6,
+    )
+
+
 def ivf_calibrate_nprobe(
     vectors,
     centroids: list[list[float]],
@@ -392,14 +409,15 @@ def ivf_calibrate_nprobe(
     import numpy as np
 
     X = np.asarray(vectors, dtype=np.float64)
-    C = np.asarray(centroids, dtype=np.float64)
-    n, nlist = len(X), len(C)
+    n, nlist = len(X), len(centroids)
     k = min(k, n - 1)
+    if k <= 0:
+        return 1, 1.0, 1.0  # degenerate 1-vector sample: recall is vacuous
     step = max(1, n // n_calibration)
     qidx = np.arange(0, n, step)[:n_calibration]
     # cell assignment + per-query probe order, same (distance, cid) rule as
     # ivf_topk's kernels (stable argsort == lower-cid tie-break)
-    d = (X**2).sum(1)[:, None] + (C**2).sum(1)[None, :] - 2.0 * (X @ C.T)
+    d = _cell_distances(X, centroids)
     assign = d.argmin(axis=1)
     probe_order = np.argsort(d[qidx], axis=1, kind="stable")
     # ground truth: exact cosine top-k within the sample
@@ -407,23 +425,28 @@ def ivf_calibrate_nprobe(
     sims = Xn[qidx] @ Xn.T
     for r, i in enumerate(qidx):
         sims[r, i] = -2.0
-    exact = [set(np.argsort(-sims[r], kind="stable")[:k]) for r in range(len(qidx))]
-    cell_pop = np.bincount(assign, minlength=nlist)
-    cell_of = {j: assign[j] for j in range(n)}
+    # nprobe NEEDED to capture a given neighbor = 1 + the rank of its cell
+    # in the query's probe order; the recall curve is then the cumulative
+    # histogram of needed-ranks — O(nq·nlist) instead of rebuilding probe
+    # sets per candidate nprobe (O(nq·nlist²) driver time at the 65k-cell
+    # cap, the round-6 review finding)
+    rank_of = np.empty_like(probe_order)
+    rows = np.arange(len(qidx))[:, None]
+    rank_of[rows, probe_order] = np.arange(nlist)[None, :]
+    exact = [
+        np.argsort(-sims[r], kind="stable")[:k] for r in range(len(qidx))
+    ]
+    needed = np.concatenate(
+        [1 + rank_of[r][assign[exact[r]]] for r in range(len(qidx))]
+    )
     goal = min(1.0, target_recall + margin)
-    for nprobe in range(1, nlist + 1):
-        cells = [set(probe_order[r][:nprobe]) for r in range(len(qidx))]
-        hits = sum(
-            sum(1 for j in exact[r] if cell_of[j] in cells[r])
-            for r in range(len(qidx))
-        )
-        recall = hits / (k * len(qidx))
-        if recall >= goal or nprobe == nlist:
-            scan = float(
-                cell_pop[probe_order[:, :nprobe]].sum() / (len(qidx) * n)
-            )
-            return nprobe, float(recall), scan
-    return nlist, 1.0, 1.0  # unreachable; loop always returns
+    counts = np.bincount(needed, minlength=nlist + 1)
+    recall_at = np.cumsum(counts) / (k * len(qidx))  # recall_at[p] = recall@p
+    feasible = np.flatnonzero(recall_at[1:] >= goal)
+    nprobe = int(feasible[0]) + 1 if len(feasible) else nlist
+    cell_pop = np.bincount(assign, minlength=nlist)
+    scan = float(cell_pop[probe_order[:, :nprobe]].sum() / (len(qidx) * n))
+    return nprobe, float(recall_at[nprobe]), scan
 
 
 def ivf_assign(
@@ -439,16 +462,11 @@ def ivf_assign(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)
-    csq = (C**2).sum(axis=1)
-
     def assign(batches):
         for pdf in batches:
             if len(pdf):
-                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d = np.round(
-                    (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
-                )
+                X = np.stack(pdf[vec_col].to_numpy())
+                d = _cell_distances(X, centroids)
                 yield pd.DataFrame(
                     {"id": pdf[id_col], "cid": d.argmin(axis=1).astype("int32")}
                 )
@@ -504,14 +522,11 @@ def ivf_calibrate_nprobe_exact(
     if not truth:
         return len(centroids), 1.0, 1.0
     nbr_ids = sorted({r["neighbor_id"] for r in truth})
-    C = np.asarray(centroids, dtype=np.float64)
-    nlist = len(C)
-    csq = (C**2).sum(axis=1)
+    nlist = len(centroids)
 
     def cells_of(rows):
         X = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
-        d = np.round((X**2).sum(1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6)
-        return d
+        return _cell_distances(X, centroids)
 
     nbr_rows = embeddings.filter(F.col(id_col).isin(nbr_ids)).select(
         id_col, vec_col
@@ -532,26 +547,30 @@ def ivf_calibrate_nprobe_exact(
         .groupBy("cid").count().collect()
     ):
         pop[int(row["cid"])] = int(row["count"])
-    by_q: dict = {}
-    for r in truth:
-        by_q.setdefault(r["query_id"], []).append(r["neighbor_id"])
+    # nprobe NEEDED per (query, true-neighbor) = 1 + the rank of the
+    # neighbor's cell in the query's probe order; the true recall curve is
+    # the cumulative histogram of needed-ranks — O(pairs + nlist), never
+    # rebuilding probe sets per candidate nprobe
+    rank_by_q = {
+        qid: {int(c): pos for pos, c in enumerate(order)}
+        for qid, order in probe_order.items()
+    }
+    needed = np.array(
+        [1 + rank_by_q[r["query_id"]][nbr_cell[r["neighbor_id"]]] for r in truth]
+    )
     goal = min(1.0, target_recall + margin)
-    total = sum(len(v) for v in by_q.values())
-    for nprobe in range(1, nlist + 1):
-        hits = sum(
-            sum(1 for nb in nbs if nbr_cell[nb] in set(probe_order[qid][:nprobe]))
-            for qid, nbs in by_q.items()
-        )
-        recall = hits / total
-        if recall >= goal or nprobe == nlist:
-            scanned = sum(
-                sum(pop[int(c)] for c in probe_order[qid][:nprobe])
-                for qid in by_q
-            )
-            return nprobe, float(recall), float(
-                scanned / (len(by_q) * max(spark_n, 1))
-            )
-    return nlist, 1.0, 1.0  # unreachable
+    counts = np.bincount(needed, minlength=nlist + 1)
+    recall_at = np.cumsum(counts) / len(truth)
+    feasible = np.flatnonzero(recall_at[1:] >= goal)
+    nprobe = int(feasible[0]) + 1 if len(feasible) else nlist
+    n_q = len(probe_order)
+    scanned = sum(
+        sum(pop[int(c)] for c in order[:nprobe])
+        for order in probe_order.values()
+    )
+    return nprobe, float(recall_at[nprobe]), float(
+        scanned / (n_q * max(spark_n, 1))
+    )
 
 
 def _l2sq(a, b):
@@ -580,17 +599,12 @@ def _probe_pairs(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)
-    csq = (C**2).sum(axis=1)
-
     def probe(batches):
         for pdf in batches:
             rows = {"query_id": [], "qvec": [], "cid": []}
             if len(pdf):
-                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d = np.round(
-                    (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
-                )
+                X = np.stack(pdf[vec_col].to_numpy())
+                d = _cell_distances(X, centroids)
                 order = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
                 for i in range(len(pdf)):
                     for cc in order[i]:
@@ -628,18 +642,14 @@ def ivf_build_index(
     import numpy as np
     import pandas as pd
 
-    C = np.asarray(centroids, dtype=np.float64)
-    csq = (C**2).sum(axis=1)
     vec_t = dict(embeddings.dtypes)[vec_col]
     id_t = dict(embeddings.dtypes)[id_col]
 
     def assign(batches):
         for pdf in batches:
             if len(pdf):
-                X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-                d = np.round(
-                    (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
-                )
+                X = np.stack(pdf[vec_col].to_numpy())
+                d = _cell_distances(X, centroids)
                 yield pdf.assign(cid=d.argmin(axis=1).astype("int32"))
             else:
                 yield pdf.assign(cid=pd.Series([], dtype="int32"))
@@ -670,7 +680,12 @@ def ivf_topk_indexed(
     difference is purely physical — the corpus scan is partition-pruned
     I/O on a prebuilt table instead of a full scan plus per-batch
     re-assignment."""
-    q = _probe_pairs(queries, centroids, nprobe, id_col, vec_col)
+    # materialized once: the probe pairs feed BOTH the distinct-cid collect
+    # below and the broadcast join — without this the mapInPandas probe
+    # kernel would run twice (round-6 review finding)
+    q = _probe_pairs(queries, centroids, nprobe, id_col, vec_col).localCheckpoint(
+        eager=True
+    )
     # the probed-cell set is bounded by nlist (dimension-sized), so the
     # driver-side collect here is a constant, never corpus-scale
     cids = sorted(r["cid"] for r in q.select("cid").distinct().collect())
@@ -738,14 +753,8 @@ def ivf_topk(
         import numpy as np
         import pandas as pd
 
-        C = np.asarray(centroids, dtype=np.float64)
-        csq = (C**2).sum(axis=1)
-
         def _dists(pdf: pd.DataFrame) -> "np.ndarray":
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
-            return np.round(
-                (X**2).sum(axis=1)[:, None] + csq[None, :] - 2.0 * (X @ C.T), 6
-            )
+            return _cell_distances(np.stack(pdf[vec_col].to_numpy()), centroids)
 
         def assign(batches):
             for pdf in batches:

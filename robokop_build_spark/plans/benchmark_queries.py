@@ -30,6 +30,35 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+def _fresh_work_dir(base: str, sf: float | str, wipe: bool = True) -> str:
+    """Per-sf AND per-pid scratch dir under `base`, wiped on (re)use
+    (wipe=False keeps the caller's own dir — for write-once layouts like
+    the bucketed tables that are deliberately reused within a session).
+    Sibling dirs left by DEAD processes are reaped here too — pid-keying
+    stops concurrent runs from clobbering each other, but only the owning
+    pid ever wiped its dir, so long-lived hosts accumulated orphaned
+    multi-GB sinks (round-6 review finding). A sibling whose embedded pid
+    is still alive is never touched."""
+    work = os.path.join(base, f"sf{sf}_pid{os.getpid()}")
+    if wipe:
+        shutil.rmtree(work, ignore_errors=True)
+    if os.path.isdir(base):
+        for name in os.listdir(base):
+            pid_part = name.rsplit("_pid", 1)
+            if len(pid_part) != 2 or not pid_part[1].isdigit():
+                continue
+            pid = int(pid_part[1])
+            if pid == os.getpid():
+                continue
+            try:
+                os.kill(pid, 0)  # probe only; signal 0 delivers nothing
+            except ProcessLookupError:
+                shutil.rmtree(os.path.join(base, name), ignore_errors=True)
+            except PermissionError:
+                pass  # someone else's live process
+    return work
+
+
 def _symlink_staging(src: str, staging_dir: str) -> str:
     """Expose a source parquet table (single file or directory of parts)
     to a file-stream source WITHOUT copying any data: a staging dir of
@@ -902,8 +931,7 @@ def streaming_minhash_dedup(spark, sf_dir):
     # invocation: the returned DataFrame stays LAZY over the sink files
     # (candidate volume is O(n)·noise at corpus scale — 18M pairs measured
     # at 1.6M docs — so a driver-side collect here would be a scale bug)
-    work = f"/tmp/robokop_stream_lsh/sf{_sf_of(sf_dir)}_pid{os.getpid()}"
-    shutil.rmtree(work, ignore_errors=True)
+    work = _fresh_work_dir("/tmp/robokop_stream_lsh", _sf_of(sf_dir))
     in_dir, out_dir, ck = (os.path.join(work, d) for d in ("in", "out", "ck"))
     # the file stream reads the SOURCE table through a symlink staging view
     # — zero data copied (the r5 wrapper rewrote the full corpus to /tmp
@@ -1266,8 +1294,7 @@ def streaming_sessionize(spark, sf_dir):
     # here, NOT a symlink view: maxFilesPerTrigger=1 needs multiple part
     # files so sessions genuinely cross micro-batch boundaries, and the
     # source table is a single file)
-    work = f"/tmp/robokop_stream_sess/sf{_sf_of(sf_dir)}_pid{os.getpid()}"
-    shutil.rmtree(work, ignore_errors=True)
+    work = _fresh_work_dir("/tmp/robokop_stream_sess", _sf_of(sf_dir))
     in_dir, out_dir, ck = (os.path.join(work, d) for d in ("in", "out", "ck"))
     ev = _t(spark, sf_dir, "events")
     ev.write.mode("overwrite").parquet(in_dir)
@@ -1895,8 +1922,9 @@ def j11_bucketed_colocated(spark, sf_dir):
         f"bkt_lineitem_{tag}",
         # pid-keyed: the external bucketed layout is written once per
         # session; two concurrent processes must not overwrite each
-        # other's bucket files mid-join
-        f"/tmp/robokop_bucketed/sf{sfl}_pid{os.getpid()}",
+        # other's bucket files mid-join. wipe=False keeps this process's
+        # layout across invocations (dead siblings are still reaped)
+        _fresh_work_dir("/tmp/robokop_bucketed", sfl, wipe=False),
         "o_orderkey",
         "l_orderkey",
     )
@@ -2353,7 +2381,10 @@ def lazy_oracles() -> dict[str, str]:
     try:
         cents, nprobe, _, _ = _ivf_params_for(DRIVER_SF_DIR)
         return {"ann_ivf_topk": ivf_sql(cents, nprobe)}
-    except OSError as exc:
+    # OSError: dir/file missing; ValueError: corrupt parquet (pyarrow's
+    # ArrowInvalid subclasses it) — either way degrade by omission instead
+    # of taking the whole oracle surface down with this one twin
+    except (OSError, ValueError) as exc:
         import sys
 
         print(

@@ -128,7 +128,18 @@ class CheckpointManager:
                     f"stage {stage!r} snapshot was not committed with "
                     "partition_by; no partition manifest to plan from"
                 )
-            keep = [d for d in partitions if d in manifest]
+            # prefix semantics for multi-column layouts: a selector 'a=1'
+            # matches manifest leaves 'a=1' AND 'a=1/b=2' — without this a
+            # single-level selector over partition_by=['a','b'] data would
+            # silently return zero rows (round-6 review finding)
+            keep = sorted(
+                {
+                    d
+                    for d in manifest
+                    for p in partitions
+                    if d == p or d.startswith(p + "/")
+                }
+            )
             if not keep:
                 if schema is None:
                     raise ValueError(
@@ -211,12 +222,23 @@ class CheckpointManager:
         os.replace(tmp, os.path.join(p, MARKER))
 
     def _repair_torn_tail(self, stage: str) -> None:
-        """Drop a half-written trailing history line (crash mid-append)
-        before the next append would bury it mid-file — snapshots() treats
-        mid-file garbage as genuine corruption and raises, so the repair
-        keeps the legitimate crash window from masquerading as one. Atomic
-        rewrite (tmp + os.replace): a crash during repair leaves either the
-        old or the repaired file, both valid."""
+        """Repair the history before a commit appends to it.
+
+        Two cases, both rewritten atomically (tmp + os.replace — a crash
+        mid-repair leaves either the old or the repaired file, both valid):
+        - a half-written TRAILING line (this code's crash window) is
+          dropped silently, exactly as snapshots() tolerates it;
+        - an undecodable MID-FILE line (a torn line buried by an append
+          from a pre-round-6 build, whose snapshots() skipped torn lines
+          anywhere) is dropped WITH an audit trail: the original file is
+          preserved as <history>.corrupt-<n> and a warning names it.
+          Without this, upgrading a legacy workdir would make the stage
+          permanently unwritable — commit() calls snapshots() to allocate
+          ids, and the strict read path raises on mid-file garbage (the
+          round-6 review finding). Read-only callers (snapshots()/read)
+          still raise on mid-file corruption they encounter first: repair
+          happens only at the next WRITE, where the caller has already
+          decided to move the stage forward."""
         hist = os.path.join(self.path(stage), HISTORY)
         if not os.path.exists(hist):
             return
@@ -224,14 +246,32 @@ class CheckpointManager:
             lines = [ln for ln in f if ln.strip()]
         if not lines:
             return
-        try:
-            json.loads(lines[-1])
-            return  # tail is healthy
-        except json.JSONDecodeError:
-            pass
+        bad = []
+        for i, ln in enumerate(lines):
+            try:
+                json.loads(ln)
+            except json.JSONDecodeError:
+                bad.append(i)
+        if not bad:
+            return
+        if any(i != len(lines) - 1 for i in bad):
+            import shutil
+            import sys
+
+            n = 0
+            while os.path.exists(f"{hist}.corrupt-{n}"):
+                n += 1
+            shutil.copyfile(hist, f"{hist}.corrupt-{n}")
+            print(
+                f"[checkpoint] stage {stage!r}: dropped {len(bad)} undecodable "
+                f"history line(s) (legacy buried torn append or corruption); "
+                f"original preserved at {hist}.corrupt-{n}",
+                file=sys.stderr,
+            )
+        keep = [ln for i, ln in enumerate(lines) if i not in set(bad)]
         tmp = hist + ".tmp"
         with open(tmp, "w") as f:
-            f.writelines(ln if ln.endswith("\n") else ln + "\n" for ln in lines[:-1])
+            f.writelines(ln if ln.endswith("\n") else ln + "\n" for ln in keep)
         os.replace(tmp, hist)
 
     @staticmethod

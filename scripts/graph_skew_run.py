@@ -31,9 +31,12 @@ HUB_DEGREE = 50_000
 
 
 def hub_graph(spark, n_nodes: int):
-    """~4n/1M·1M + 150k edges: every node i>0 gets 4 uniform back-edges
-    (i, xxhash(i,r) % i) — a sparse well-mixed bulk — plus hubs 0..2 each
-    linked to HUB_DEGREE xxhash-selected nodes. Deterministic, generated
+    """~4n + 3·HUB_DEGREE edges: every node i>0 gets 4 uniform back-edges
+    (i, xxhash(i,r) % i) — a sparse well-mixed bulk — plus hubs 0..2 EACH
+    linked to exactly HUB_DEGREE stride-selected nodes (one range row per
+    (hub, spoke) pair, so each hub genuinely has the claimed degree — the
+    first version split one spoke set across the 3 hubs and measured hub
+    skew at a third of the documented severity). Deterministic, generated
     entirely as column expressions."""
     from pyspark.sql import functions as F
 
@@ -46,10 +49,12 @@ def hub_graph(spark, n_nodes: int):
         )
         bulk = part if bulk is None else bulk.unionByName(part)
     stride = max(1, (n_nodes - N_HUBS) // HUB_DEGREE)
-    spokes = spark.range(N_HUBS, n_nodes, stride).select(
-        F.pmod(F.xxhash64("id"), F.lit(N_HUBS)).alias("src"),
-        F.col("id").alias("dst"),
-    )
+    spokes = spark.range(0, N_HUBS * HUB_DEGREE).select(
+        F.pmod(F.col("id"), F.lit(N_HUBS)).alias("src"),
+        (F.lit(N_HUBS) + (F.col("id") / N_HUBS).cast("long") * stride).alias(
+            "dst"
+        ),
+    ).filter(F.col("dst") < n_nodes)
     return bulk.unionByName(spokes).filter(F.col("src") != F.col("dst"))
 
 

@@ -241,3 +241,35 @@ def test_partition_read_on_unpartitioned_stage_raises(spark, ckpt):
     ckpt.commit("u", _df(spark, [1]))
     with pytest.raises(ValueError, match="partition manifest"):
         ckpt.read("u", partitions=["pred=a"])
+
+
+def test_partition_prefix_matches_multi_level_layout(spark, ckpt):
+    """A single-level selector over a two-column partition layout must
+    match by prefix ('a=1' → 'a=1/b=2'), not return silent zero rows."""
+    df = spark.createDataFrame(
+        [("x", "p", 1), ("x", "q", 2), ("y", "p", 3)], ["a", "b", "v"]
+    )
+    ckpt.commit("m", df, partition_by=["a", "b"])
+    got = ckpt.read("m", partitions=["a=x"])
+    assert sorted(r["v"] for r in got.collect()) == [1, 2]
+    exactly = ckpt.read("m", partitions=["a=x/b=q"])
+    assert [r["v"] for r in exactly.collect()] == [2]
+
+
+def test_legacy_buried_torn_line_repaired_at_commit(spark, ckpt):
+    """A torn history line buried mid-file by a pre-round-6 append (old
+    code tolerated torn lines anywhere) must not make the stage
+    permanently unwritable: the next commit repairs it, preserving the
+    original file for audit; read-only snapshots() still raises first."""
+    ckpt.commit("lg", _df(spark, [1]))
+    ckpt.commit("lg", _df(spark, [2]))
+    hist = os.path.join(ckpt.path("lg"), "_snapshots.jsonl")
+    lines = open(hist).read().splitlines()
+    lines.insert(1, '{"stage": "lg", "snapsho')  # buried torn line
+    open(hist, "w").write("\n".join(lines) + "\n")
+    with pytest.raises(ValueError, match="corrupt snapshot history"):
+        ckpt.snapshots("lg")
+    ckpt.commit("lg", _df(spark, [3]))  # repairs, then commits
+    assert [m["snapshot"] for m in ckpt.snapshots("lg")] == [0, 1, 2]
+    assert sorted(r["x"] for r in ckpt.read("lg").collect()) == [3]
+    assert os.path.exists(hist + ".corrupt-0")  # audit trail preserved

@@ -134,3 +134,13 @@ def test_durable_loop_retention_keeps_bounded_snapshots(spark, tmp_path):
     # expire_snapshots(keep_last=2) runs after every commit: at most the
     # two newest rounds' data survives however many rounds the peel took
     assert len(snap_dirs) <= 2
+
+
+def test_pagerank_refuses_checkpoint_past_requested_iterations(
+    spark, tmp_path
+):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    mgr = CheckpointManager(spark, str(tmp_path))
+    pagerank(edges, iterations=6, manager=mgr, stage="pr", commit_every=3)
+    with pytest.raises(ValueError, match="past the requested"):
+        pagerank(edges, iterations=3, manager=mgr, stage="pr", commit_every=3)
