@@ -9,9 +9,9 @@ key names the §2 row(s) it exercises; implementations live in
 robokop_build_spark/plans/benchmark_queries.py. Queries without an ANSI-SQL
 formulation are oracled through generated parquet artifacts (independent
 pure-Python replays + exported constants, datagen/oracle_fixtures.py) read
-by DuckDB via read_parquet; the one remaining oracle-less entry
-(kg_span_roundtrip — a self-checking invariant returning a mismatch count
-asserted 0 in pytest) relies on its pytest gate instead.
+by DuckDB via read_parquet; kg_span_roundtrip's twin recomputes its
+invariant directly in SQL (unnest WITH ORDINALITY → re-aggregate →
+null-safe compare), so every entry now carries an oracle.
 """
 
 from __future__ import annotations
