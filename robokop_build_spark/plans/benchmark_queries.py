@@ -1066,6 +1066,31 @@ def ann_embedding_neardup(spark, sf_dir):
     )
 
 
+# bump when the calibration rule changes — invalidates the disk cache
+_IVF_CALIB_VERSION = 1
+
+
+def _ivf_cache_path(sf_dir: str, train_rows: int) -> str | None:
+    """Fingerprint-keyed disk-cache path for the IVF params: the driver
+    compares each query in a FRESH process (lru_cache never survives), and
+    the Spark query and its generated DuckDB twin may be built in different
+    processes — the disk cache makes both read the identical literals and
+    pays the k-means + calibration once per corpus, not once per process."""
+    import hashlib
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(emb)
+    except OSError:
+        return None
+    key = (
+        f"{os.path.abspath(emb)}|{st.st_size}|{st.st_mtime_ns}|"
+        f"{_parquet_num_rows(emb)}|{train_rows}|v{_IVF_CALIB_VERSION}"
+    )
+    h = hashlib.md5(key.encode()).hexdigest()
+    return f"/tmp/robokop_ivf_cache/{h}.json"
+
+
 @functools.lru_cache(maxsize=4)
 def _ivf_params_for(
     sf_dir: str, train_rows: int = 65_536
@@ -1077,11 +1102,34 @@ def _ivf_params_for(
     estimated_scan_fraction). Centroids AND nprobe are shared by the Spark
     query and the generated DuckDB twin, so both engines search with
     identical constants (parity by shared literals, the minhash_sql
-    pattern); nprobe comes from ivf_calibrate_nprobe's recall@5 ≥ 0.9
-    target instead of a fixed nlist/8 guess (round-5 verdict: the fixed
-    rule gave 0.62 recall on this weakly clustered corpus)."""
+    pattern); nprobe comes from a recall@5 ≥ 0.9 target instead of a fixed
+    nlist/8 guess (round-5 verdict: the fixed rule gave 0.62 recall on this
+    weakly clustered corpus).
+
+    Calibrator choice follows the round-6 at-size finding (BENCH §0i): when
+    the sample IS the corpus (every driver scale: ≤2000 vectors vs the 65k
+    sample cap) the in-sample estimate is corpus truth by construction and
+    needs no Spark; when the corpus exceeds the sample, in-sample recall
+    estimates drift with corpus structure (measured 0.92 est → 0.64 true at
+    640k unclustered), so the exact corpus-truth calibrator runs instead
+    (one distributed brute pass over ~128 hash-strided queries + one
+    assignment aggregate). Results are disk-cached keyed by the corpus
+    fingerprint, so cross-process callers (driver per-query processes, the
+    Spark-less oracle generator) share identical literals and the cost is
+    paid once per corpus."""
+    import json
+
     import numpy as np
     import pyarrow.dataset as ds
+
+    cache = _ivf_cache_path(sf_dir, train_rows)
+    if cache and os.path.exists(cache):
+        try:
+            with open(cache) as f:
+                d = json.load(f)
+            return d["cents"], d["nprobe"], d["recall"], d["scan"]
+        except (OSError, ValueError, KeyError):
+            pass  # unreadable/torn cache: recompute and rewrite below
 
     tbl = ds.dataset(os.path.join(sf_dir, "embeddings.parquet")).head(
         train_rows, columns=["vec_id", "embedding"]
@@ -1093,7 +1141,46 @@ def _ivf_params_for(
         _parquet_num_rows(os.path.join(sf_dir, "embeddings.parquet")) or len(X)
     )
     cents = SIM.ivf_train_centroids(X, SIM.auto_nlist(n_corpus))
-    nprobe, cal_recall, scan_frac = SIM.ivf_calibrate_nprobe(X, cents, k=5)
+    exact_spark = None
+    if n_corpus > len(X):
+        exact_spark = SparkSession.getActiveSession()
+        if exact_spark is None:
+            import sys
+
+            print(
+                f"[ivf] corpus ({n_corpus}) exceeds the training sample "
+                f"({len(X)}) but no active SparkSession is available for "
+                "exact calibration — falling back to the in-sample "
+                "estimate, which is measured to drift at this regime "
+                "(BENCH §0i); run the Spark query first so the exact "
+                "params land in the disk cache",
+                file=sys.stderr,
+            )
+    if exact_spark is not None:
+        emb = exact_spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        nprobe, cal_recall, scan_frac = SIM.ivf_calibrate_nprobe_exact(
+            emb, cents, k=5, n_rows=n_corpus
+        )
+    else:
+        nprobe, cal_recall, scan_frac = SIM.ivf_calibrate_nprobe(X, cents, k=5)
+
+    if cache:
+        try:
+            os.makedirs(os.path.dirname(cache), exist_ok=True)
+            tmp = f"{cache}.tmp.{os.getpid()}"
+            with open(tmp, "w") as f:
+                json.dump(
+                    {
+                        "cents": [[float(v) for v in c] for c in cents],
+                        "nprobe": int(nprobe),
+                        "recall": float(cal_recall),
+                        "scan": float(scan_frac),
+                    },
+                    f,
+                )
+            os.replace(tmp, cache)  # atomic: readers see whole files only
+        except OSError:
+            pass  # cache is an optimization; never fail the query for it
     return cents, nprobe, cal_recall, scan_frac
 
 

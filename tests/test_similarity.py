@@ -175,7 +175,16 @@ def test_ivf_topk_finds_near_dup_and_matches_exact_on_probed_cells(
     )
 
 
-@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001", "/root/testdata/sf0.01"])
+@pytest.mark.parametrize(
+    "sf_dir",
+    [
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        # the bench sf: gate recall where the driver actually measures perf,
+        # not just at the correctness sf (round-6 advice)
+        "/root/testdata/sf0.1",
+    ],
+)
 def test_ivf_recall_gate_on_driver_corpus(spark, sf_dir):
     """Recall@5 ≥ 0.9 vs the exact baseline on the real driver corpora at
     the calibrated nlist/nprobe — gates the approximation quality honestly
