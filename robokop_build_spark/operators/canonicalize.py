@@ -117,14 +117,19 @@ def connected_components(
     hash-identical (the resume pays one extra fingerprint round to
     re-detect convergence).
     """
-    from .iterate import LoopCheckpointer
+    from .iterate import LoopCheckpointer, input_fingerprint
 
-    ckpt = LoopCheckpointer(manager, stage, commit_every)
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
     )
+    params = (
+        {"op": "connected_components", "input": input_fingerprint(e, ["src", "dst"])}
+        if manager is not None
+        else None
+    )
+    ckpt = LoopCheckpointer(manager, stage, commit_every, params=params)
     if strategy == "auto":
         strategy = "local" if e.count() <= local_threshold else "distributed"
     if strategy == "local":
@@ -184,7 +189,14 @@ def connected_components(
     )
 
 
-def canonical_map(normalization: DataFrame, strategy: str = "auto") -> DataFrame:
+def canonical_map(
+    normalization: DataFrame,
+    strategy: str = "auto",
+    manager=None,
+    cc_stage: str = "rep_map_cc",
+    cc_commit_every: int = 0,
+    stats: dict | None = None,
+) -> DataFrame:
     """normalization(alias, canonical, node_type, name) →
     (curie, rep, node_type, name): every known curie mapped to its
     deterministic representative, carrying component metadata (min name/type
@@ -194,7 +206,15 @@ def canonical_map(normalization: DataFrame, strategy: str = "auto") -> DataFrame
     createDataFrame — the normalization map is a dimension table, and the
     distributed path costs ~6 scheduler round-trips per CC iteration that
     dwarf the compute at this size. 'distributed' chains the large-star/
-    small-star CC with joins (the 10^12-alias path)."""
+    small-star CC with joins (the 10^12-alias path).
+
+    manager/cc_stage/cc_commit_every: durable loop checkpointing for the
+    distributed CC (operators/iterate.LoopCheckpointer) — a preempted
+    10^12-alias canonicalization resumes contraction from the last
+    committed round instead of round zero. The local path ignores them
+    (its whole cost is one collect). Loop params (op + input fingerprint)
+    are validated on resume, so stale state from a different normalization
+    map raises instead of silently resuming."""
     if strategy == "auto":
         strategy = "local" if normalization.count() <= 2_000_000 else "distributed"
     if strategy == "local":
@@ -218,7 +238,14 @@ def canonical_map(normalization: DataFrame, strategy: str = "auto") -> DataFrame
             out, ["curie", "rep", "node_type", "name"]
         )
     reps = connected_components(
-        normalization, src="alias", dst="canonical", strategy="distributed"
+        normalization,
+        src="alias",
+        dst="canonical",
+        strategy="distributed",
+        manager=manager if cc_commit_every > 0 else None,
+        stage=cc_stage,
+        commit_every=cc_commit_every,
+        stats=stats,
     )
     meta_df = (
         normalization.select(F.col("alias").alias("curie"), "node_type", "name")

@@ -138,21 +138,26 @@ def k_core(
     call resumes peeling from the last committed round instead of round
     zero (preemption safety at 100-TB scale; localCheckpoint blocks are
     single-replica executor memory)."""
-    from .iterate import LoopCheckpointer
+    from .iterate import LoopCheckpointer, input_fingerprint
 
-    ckpt = LoopCheckpointer(manager, stage, commit_every)
     a, b = F.col(src), F.col(dst)
+    und = (
+        edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    params = (
+        {"op": "k_core", "k": k, "input": input_fingerprint(und, ["a", "b"])}
+        if manager is not None
+        else None
+    )
+    ckpt = LoopCheckpointer(manager, stage, commit_every, params=params)
     start = 0
     resumed = ckpt.resume()
     if resumed is not None:
         start, e = resumed
     else:
-        e = (
-            edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
+        e = und.localCheckpoint(eager=True)
     rounds_run = 0
     for i in range(start, max_iter):
         deg = (
@@ -220,15 +225,20 @@ def core_number(
     table through a CheckpointManager snapshot every commit_every rounds
     so a relaunched run resumes from the last committed round; see
     operators/iterate.LoopCheckpointer)."""
-    from .iterate import LoopCheckpointer
+    from .iterate import LoopCheckpointer, input_fingerprint
 
-    ckpt = LoopCheckpointer(manager, stage, commit_every)
     a, b = F.col(src), F.col(dst)
     und = (
         edges.select(F.least(a, b).alias("a"), F.greatest(a, b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
+    params = (
+        {"op": "core_number", "input": input_fingerprint(und, ["a", "b"])}
+        if manager is not None
+        else None
+    )
+    ckpt = LoopCheckpointer(manager, stage, commit_every, params=params)
     # static per-invocation table, deterministically re-derived from the
     # input on a resumed run (only the evolving estimate table needs to be
     # durable)
@@ -313,10 +323,20 @@ def pagerank(
     """
     from pyspark import StorageLevel
 
-    from .iterate import LoopCheckpointer
+    from .iterate import LoopCheckpointer, input_fingerprint
 
-    ckpt = LoopCheckpointer(manager, stage, commit_every)
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    params = (
+        {
+            "op": "pagerank",
+            "damping": damping,
+            "round_dp": round_dp,
+            "input": input_fingerprint(e, ["src", "dst"]),
+        }
+        if manager is not None
+        else None
+    )
+    ckpt = LoopCheckpointer(manager, stage, commit_every, params=params)
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))

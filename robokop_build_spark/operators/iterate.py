@@ -29,7 +29,25 @@ that.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame
+
+
+def input_fingerprint(df: DataFrame, cols: list[str]) -> list[int]:
+    """Order-insensitive identity of a loop's normalized input frame:
+    (row count, xor of per-row xxhash64 over `cols`). One agg pass with a
+    commutative combiner — computed only when durable mode is on, so the
+    non-durable path pays nothing. Feeds LoopCheckpointer params so a
+    resume against a DIFFERENT input (same stage name) fails loudly
+    instead of silently contracting someone else's state."""
+    from pyspark.sql import functions as F
+
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bit_xor(F.xxhash64(*cols)), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return [int(row["n"]), int(row["h"])]
 
 
 class LoopCheckpointer:
@@ -43,9 +61,14 @@ class LoopCheckpointer:
     always kept), so the durable loop costs O(keep_last) snapshots of
     disk, not O(rounds).
 
-    `stage` must uniquely name (operator, input) within the manager's
-    workdir — resuming someone else's state is silently wrong, exactly
-    like reusing a streaming checkpoint dir across queries.
+    `params` (JSON-able dict) is the loop's identity — operator name, its
+    output-affecting arguments (k, damping, round_dp, ...), and an input
+    fingerprint. It is stamped into every commit's metadata and validated
+    on resume: default stage names ('k_core', 'pagerank') encode neither
+    the operator's arguments nor the input identity, so without this check
+    reusing a manager workdir across calls with a different k or different
+    edges would silently resume the WRONG state (round-6 advice). A
+    mismatch raises instead.
     """
 
     def __init__(
@@ -54,6 +77,7 @@ class LoopCheckpointer:
         stage: str | None = None,
         commit_every: int = 0,
         keep_last: int = 2,
+        params: dict | None = None,
     ):
         if (manager is not None) and (not stage or commit_every <= 0):
             raise ValueError(
@@ -63,17 +87,33 @@ class LoopCheckpointer:
         self.stage = stage
         self.commit_every = commit_every
         self.keep_last = keep_last
+        # JSON round-trip normalizes tuples/ints so the equality check
+        # compares like with like after the meta store's own round-trip
+        self.params = (
+            json.loads(json.dumps(params)) if params is not None else None
+        )
         self.on = manager is not None
 
     def resume(self) -> tuple[int, DataFrame] | None:
         """(next_round_index, restored_state) from the last committed
-        round, or None when there is nothing to resume."""
+        round, or None when there is nothing to resume. Raises ValueError
+        when the committed state was produced under different loop params
+        (operator args or input identity) than this call's."""
         if not self.on or not self.manager.is_done(self.stage):
             return None
         meta = self.manager.current_meta(self.stage)
         it = meta.get("iteration") if meta else None
         if it is None:
             return None
+        if self.params is not None:
+            stored = meta.get("loop_params")
+            if stored != self.params:
+                raise ValueError(
+                    f"LoopCheckpointer stage {self.stage!r}: committed state "
+                    f"was produced under loop params {stored!r} but this call "
+                    f"runs with {self.params!r} — resuming would silently mix "
+                    "states; use a distinct stage name or wipe the stage"
+                )
         return it + 1, self.manager.read(self.stage)
 
     def save(self, round_index: int, df: DataFrame) -> DataFrame:
@@ -81,9 +121,10 @@ class LoopCheckpointer:
         the round hits the commit_every cadence. Returns the frame the next
         round must consume (the re-read, for a durable commit)."""
         if self.on and (round_index + 1) % self.commit_every == 0:
-            out = self.manager.commit(
-                self.stage, df, extra_meta={"iteration": round_index}
-            )
+            extra = {"iteration": round_index}
+            if self.params is not None:
+                extra["loop_params"] = self.params
+            out = self.manager.commit(self.stage, df, extra_meta=extra)
             self.manager.expire_snapshots(self.stage, keep_last=self.keep_last)
             return out
         return df.localCheckpoint(eager=True)

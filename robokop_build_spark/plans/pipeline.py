@@ -97,6 +97,14 @@ class PipelineConfig:
     # min-CURIE canonical rep legitimately surfaces alias prefixes
     forbidden_id_prefixes: tuple[str, ...] = ()
     cc_strategy: str = "auto"  # 'local' dim-sized / 'distributed' web-scale
+    # durable commit cadence for the distributed-CC loop inside rep_map
+    # (operators/iterate.LoopCheckpointer): 'auto' = every 5 rounds, the
+    # measured 2.8-5.0%-overhead cadence (BENCH §0h) — a preempted
+    # canonicalization then resumes from the last committed round instead
+    # of round zero. Only the distributed CC path engages it; the local
+    # union-find (every corpus below ~2M aliases) has no loop to protect.
+    # 0 disables (localCheckpoint-only rounds, the pre-round-7 behavior).
+    cc_commit_every: int | str = "auto"
     # intermediate materialization for doc_entities/triples_base/metrics:
     # 'local' = eager localCheckpoint (no parquet round-trip),
     # 'commit' = durable stage commit (the pre-round-5 layout),
@@ -184,8 +192,20 @@ class KGPipeline:
             ),
         )
 
+        cc_every = 5 if cfg.cc_commit_every == "auto" else int(cfg.cc_commit_every)
+        # surfaced for tests/operators-report: resumed_from/iterations of
+        # the CC loop when the distributed path ran durably this run
+        self.cc_stats: dict = {}
         rep_map = ckpt.run_stage(
-            "rep_map", lambda: canonical_map(t["normalization"], cfg.cc_strategy)
+            "rep_map",
+            lambda: canonical_map(
+                t["normalization"],
+                cfg.cc_strategy,
+                manager=ckpt,
+                cc_stage="rep_map_cc",
+                cc_commit_every=cc_every,
+                stats=self.cc_stats,
+            ),
         )
 
         def _doc_entities() -> DataFrame:

@@ -136,6 +136,36 @@ def test_durable_loop_retention_keeps_bounded_snapshots(spark, tmp_path):
     assert len(snap_dirs) <= 2
 
 
+def test_k_core_refuses_resume_under_different_k_or_input(spark, tmp_path):
+    """Default stage names encode neither operator args nor input identity
+    (round-6 advice): the committed loop_params (op, k, input fingerprint)
+    must be validated on resume, raising instead of silently contracting
+    the wrong state."""
+    edges = _path_edges(spark)
+    mgr = CheckpointManager(spark, str(tmp_path))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(edges, k=2, max_iter=4, manager=mgr, stage="kc", commit_every=2)
+    with pytest.raises(ValueError, match="loop params"):
+        k_core(edges, k=3, manager=mgr, stage="kc", commit_every=2)
+    other = spark.createDataFrame(
+        [("q1", "q2"), ("q2", "q3"), ("q3", "q1"), ("q3", "q4"), ("q4", "q1")],
+        ["src", "dst"],
+    )
+    with pytest.raises(ValueError, match="loop params"):
+        k_core(other, k=2, manager=mgr, stage="kc", commit_every=2)
+
+
+def test_pagerank_refuses_resume_under_different_damping(spark, tmp_path):
+    edges = spark.createDataFrame([("a", "b"), ("b", "a")], ["src", "dst"])
+    mgr = CheckpointManager(spark, str(tmp_path))
+    pagerank(edges, iterations=4, manager=mgr, stage="pr", commit_every=2)
+    with pytest.raises(ValueError, match="loop params"):
+        pagerank(
+            edges, iterations=6, damping=0.5, manager=mgr, stage="pr",
+            commit_every=2,
+        )
+
+
 def test_pagerank_refuses_checkpoint_past_requested_iterations(
     spark, tmp_path
 ):
@@ -144,3 +174,58 @@ def test_pagerank_refuses_checkpoint_past_requested_iterations(
     pagerank(edges, iterations=6, manager=mgr, stage="pr", commit_every=3)
     with pytest.raises(ValueError, match="past the requested"):
         pagerank(edges, iterations=3, manager=mgr, stage="pr", commit_every=3)
+
+
+def _triple_keys(out):
+    return sorted(
+        (
+            r["subj"], r["pred"], r["obj"], r["edge_source"],
+            r["input_identifiers"], tuple(r["publications"]),
+        )
+        for r in out["triples"].collect()
+    )
+
+
+def test_pipeline_resumes_mid_cc_with_identical_output(
+    spark, fixture_dir, tmp_path
+):
+    """Round-6 verdict #7: the KG pipeline's rep_map CC loop is durably
+    resumable at the PIPELINE level, not just the operator level. Simulate
+    a job preempted mid-contraction: pre-seed a fresh workdir's rep_map_cc
+    loop stage with the partial committed round a killed distributed-CC
+    run leaves behind (same input edges, the pipeline's stage name), then
+    run the full pipeline against that workdir and assert it RESUMED the
+    loop (resumed_from >= 1) and emitted triples identical to an
+    uninterrupted run."""
+    from robokop_build_spark.plans import pipeline as P
+    from robokop_build_spark.sources.readers import read_fixtures
+
+    want = _triple_keys(
+        P.run_pipeline(
+            spark, fixture_dir, str(tmp_path / "w1"),
+            cc_strategy="distributed", cc_commit_every=1,
+        )
+    )
+
+    w2 = str(tmp_path / "w2")
+    mgr = CheckpointManager(spark, w2)
+    norm = read_fixtures(spark, fixture_dir)["normalization"]
+    # max_iter=1 can never observe the fingerprint fixpoint (needs two
+    # matching rounds), so this always dies after committing round 0 —
+    # exactly a preemption one round into contraction
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        connected_components(
+            norm, src="alias", dst="canonical", strategy="distributed",
+            max_iter=1, manager=mgr, stage="rep_map_cc", commit_every=1,
+        )
+    assert mgr.current_meta("rep_map_cc")["iteration"] == 0
+
+    pipe = P.KGPipeline(
+        spark,
+        P.PipelineConfig(
+            fixture_dir, w2, cc_strategy="distributed", cc_commit_every=1
+        ),
+    )
+    got = _triple_keys(pipe.run())
+    assert pipe.cc_stats.get("resumed_from") == 1
+    assert got == want
