@@ -24,6 +24,7 @@ from ..operators import curation as CU
 from ..operators import dedup as D
 from ..operators import events as EV
 from ..operators import similarity as SIM
+from ..operators import sketches as SK
 from ..operators import text as T
 from ..operators.support import chi2_2x2
 
@@ -2296,6 +2297,128 @@ FROM lineitem GROUP BY l_returnflag
 
 
 # --------------------------------------------------------------------------
+# sketch-based approximate stats — the declared-error 100-TB swap-ins for
+# exact COUNT(DISTINCT) and exact percentile (the a10/a13/a14 trio documents
+# the exact/approx trade the same way ann_cosine_topk/ann_ivf_topk does).
+# Spark's built-in approx_count_distinct / approx_percentile sketches are
+# engine-private (HLL++ / KLL internals DuckDB cannot replicate), so both
+# sketches here are built from first principles out of deterministic
+# relational algebra — the SAME registers / buckets computed by both engines,
+# hash-compared like any exact query, with the error bound declared in the
+# contract instead of hidden in an implementation.
+# --------------------------------------------------------------------------
+
+# sketch parameters live with the operators (operators/sketches.py) and are
+# interpolated into the DuckDB twins below so both engines share them verbatim
+_HLL_M = SK.HLL_M
+_HLL_NUM = SK.HLL_NUM
+_HLL_ZERO_REG = SK.HLL_ZERO_REG
+
+
+def a13_hll_distinct(spark, sf_dir):
+    """A13 (beyond §2, round-6 verdict #8): HyperLogLog count-distinct of
+    part keys per return flag, next to the exact count — the declared-error
+    (SE 1.04/sqrt(4096) ≈ 1.6 %) swap-in for exact COUNT(DISTINCT); see
+    operators/sketches.hll_count_distinct for the scale design and the
+    cross-engine determinism argument. tests/test_approx_sketches.py gates
+    the realized error at sf0.01 and sf0.1."""
+    li = _t(spark, sf_dir, "lineitem")
+    approx = SK.hll_count_distinct(li, "l_returnflag", "l_partkey")
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_distinct")
+    )
+    return approx.join(exact, "l_returnflag").select(
+        "l_returnflag", "approx_distinct", "exact_distinct"
+    )
+
+
+A13_SQL = f"""
+WITH h AS (
+  SELECT l_returnflag AS g, md5(CAST(l_partkey AS VARCHAR)) AS hx
+  FROM lineitem
+),
+rho AS (
+  SELECT g, substr(hx, 1, 3) AS bucket,
+    CASE WHEN substr(hx, 4, 8) = '00000000' THEN 33
+         ELSE 4 * length(regexp_extract(substr(hx, 4, 8), '^(0*)', 1))
+              + CASE substr(regexp_replace(substr(hx, 4, 8), '^0+', ''), 1, 1)
+                  WHEN '1' THEN 3
+                  WHEN '2' THEN 2 WHEN '3' THEN 2
+                  WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+                  ELSE 0 END
+              + 1 END AS r
+  FROM h
+),
+regs AS (SELECT g, bucket, max(r) AS r FROM rho GROUP BY g, bucket),
+agg AS (
+  SELECT g, count(*) AS r_present,
+         CAST(sum(CAST(power(2.0, 33 - r) AS BIGINT)) AS BIGINT) AS s_present
+  FROM regs GROUP BY g
+),
+est AS (
+  SELECT g, {_HLL_M} - r_present AS zeros,
+    {_HLL_NUM!r} / (s_present + ({_HLL_M} - r_present) * {_HLL_ZERO_REG}) AS raw
+  FROM agg
+),
+ex AS (
+  SELECT l_returnflag AS g, count(DISTINCT l_partkey) AS exact_distinct
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT est.g AS l_returnflag,
+  CAST(round(CASE WHEN raw <= 2.5 * {_HLL_M} AND zeros > 0
+                  THEN {float(_HLL_M)!r} * ln({float(_HLL_M)!r} / CAST(zeros AS DOUBLE))
+                  ELSE raw END, 0) AS BIGINT) AS approx_distinct,
+  exact_distinct
+FROM est JOIN ex ON est.g = ex.g
+"""
+
+
+_HIST_K = 200  # buckets → declared quantile error <= (max-min)/200 per group
+
+
+def a14_hist_quantile(spark, sf_dir):
+    """A14 (beyond §2, round-6 verdict #8): histogram-sketch quantiles
+    (p50/p95/p99 of extended price per return flag) — the declared-error
+    (≤ (max-min)/K, K=200) swap-out for a10's exact percentile; see
+    operators/sketches.histogram_quantiles for the two-pass scale design."""
+    li = _t(spark, sf_dir, "lineitem")
+    return SK.histogram_quantiles(
+        li, "l_returnflag", "l_extendedprice", ps=(0.5, 0.95, 0.99), k=_HIST_K
+    )
+
+
+A14_SQL = f"""
+WITH v AS (SELECT l_returnflag AS g, CAST(l_extendedprice AS DOUBLE) AS x FROM lineitem),
+st AS (SELECT g, min(x) AS mn, max(x) AS mx, count(*) AS n FROM v GROUP BY g),
+bk AS (
+  SELECT v.g, CASE WHEN mx = mn THEN 0
+    ELSE least({_HIST_K} - 1, CAST(floor((x - mn) / (mx - mn) * {_HIST_K}) AS BIGINT)) END AS bucket
+  FROM v JOIN st ON v.g = st.g
+),
+hist AS (SELECT g, bucket, count(*) AS cnt FROM bk GROUP BY g, bucket),
+cum AS (
+  SELECT g, bucket, cnt,
+    sum(cnt) OVER (PARTITION BY g ORDER BY bucket) AS cum,
+    coalesce(sum(cnt) OVER (PARTITION BY g ORDER BY bucket
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+  FROM hist
+),
+tq AS (
+  SELECT c.g, p.p, st.mn, st.mx, CAST(ceil(p.p * st.n) AS BIGINT) AS t,
+         min(CASE WHEN c.cum >= CAST(ceil(p.p * st.n) AS BIGINT)
+                  THEN struct_pack(bucket := c.bucket, cum_before := c.cum_before, cnt := c.cnt) END) AS hit
+  FROM cum c JOIN st ON c.g = st.g
+  CROSS JOIN (SELECT unnest([0.5, 0.95, 0.99]) AS p) p
+  GROUP BY c.g, p.p, st.mn, st.mx, st.n
+)
+SELECT g AS l_returnflag, p,
+  round(CASE WHEN mx = mn THEN mn
+    ELSE mn + (mx - mn) / {_HIST_K} * (hit.bucket + CAST(t - hit.cum_before AS DOUBLE) / CAST(hit.cnt AS DOUBLE)) END, 4) AS q_est
+FROM tq ORDER BY g, p
+"""
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -2334,6 +2457,8 @@ QUERIES = {
     "streaming_minhash_dedup": streaming_minhash_dedup,
     "streaming_sessionize": streaming_sessionize,
     "kg_span_roundtrip": kg_span_roundtrip,
+    "a13_hll_distinct": a13_hll_distinct,
+    "a14_hist_quantile": a14_hist_quantile,
     # -- block 3: high-value entries kept inside the 50-row window ---------
     "kg_end_to_end": kg_end_to_end,
     "kg_var_length": kg_var_length,
@@ -2593,6 +2718,8 @@ ORACLES = {
     "chunk_doc_windows": CHUNK_SQL,
     "a9_rollup_revenue": ROLLUP_SQL,
     "a10_percentiles": PERCENTILES_SQL,
+    "a13_hll_distinct": A13_SQL,
+    "a14_hist_quantile": A14_SQL,
     "a11_pivot_status": PIVOT_SQL,
     "w5_moving_sum": MOVING_SQL,
     "j11_bucketed_colocated": J11_SQL,
