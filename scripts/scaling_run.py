@@ -166,6 +166,17 @@ def main() -> None:
     ap.add_argument("big", nargs="?", type=int, default=32)
     ap.add_argument("--mode", choices=["threads", "jvms"], default="threads")
     ap.add_argument("--cores", type=int, default=2, help="cores per executor (jvms)")
+    ap.add_argument(
+        "--big-repeats",
+        type=int,
+        default=None,
+        help="extra draws for the big level (default = repeats). The big runs"
+        " are ~3x shorter and ~3x noisier across host waves than the small"
+        " runs (BENCH session history: big 178-629s on identical code, small"
+        " 580-800s), so best-of-N over more big draws estimates the true"
+        " quiet-window job time at the same session cost; every run keeps"
+        " its own bracketing calibrations so the draws stay auditable.",
+    )
     args = ap.parse_args()
 
     sf = str(float(args.sf))
@@ -200,26 +211,36 @@ def main() -> None:
             while fh.read(1 << 22):
                 pass
 
-    results: dict[str, list[dict]] = {"small": [], "big": []}
+    big_repeats = args.big_repeats if args.big_repeats is not None else args.repeats
+    assert big_repeats >= args.repeats, "--big-repeats must be >= repeats"
+    # alternate order within each pair (a fixed order would systematically
+    # bias one level), then distribute the extra big draws across the
+    # session so they sample independent wave windows, not one burst
+    schedule: list[str] = []
+    extra = big_repeats - args.repeats
     for r in range(args.repeats):
-        # alternate order: a fixed order would systematically bias one level
-        order = ("small", "big") if r % 2 == 0 else ("big", "small")
-        for level in order:
-            master, cores = masters[level]
-            cal_pre = {k: calibrate(w) for k, w in cal_workers.items()}
-            res = run_once(master, cores, sf)
-            cal_post = {k: calibrate(w) for k, w in cal_workers.items()}
-            res["cal_pre"] = cal_pre
-            res["cal_post"] = cal_post
-            # contemporaneous hardware capacity at THIS worker count
-            res["cal_mean"] = round((cal_pre[level] + cal_post[level]) / 2, 1)
-            # hardware big/small scaling ratio AT THIS MOMENT
-            res["hw_ratio"] = round(
-                (cal_pre["big"] / cal_pre["small"] + cal_post["big"] / cal_post["small"]) / 2,
-                3,
-            )
-            results[level].append(res)
-            print(f"run {r} {level} ({master}): {json.dumps(res)}", file=sys.stderr, flush=True)
+        pair = ["small", "big"] if r % 2 == 0 else ["big", "small"]
+        schedule.extend(pair)
+        take = extra // args.repeats + (1 if r < extra % args.repeats else 0)
+        schedule.extend(["big"] * take)
+
+    results: dict[str, list[dict]] = {"small": [], "big": []}
+    for r, level in enumerate(schedule):
+        master, cores = masters[level]
+        cal_pre = {k: calibrate(w) for k, w in cal_workers.items()}
+        res = run_once(master, cores, sf)
+        cal_post = {k: calibrate(w) for k, w in cal_workers.items()}
+        res["cal_pre"] = cal_pre
+        res["cal_post"] = cal_post
+        # contemporaneous hardware capacity at THIS worker count
+        res["cal_mean"] = round((cal_pre[level] + cal_post[level]) / 2, 1)
+        # hardware big/small scaling ratio AT THIS MOMENT
+        res["hw_ratio"] = round(
+            (cal_pre["big"] / cal_pre["small"] + cal_post["big"] / cal_post["small"]) / 2,
+            3,
+        )
+        results[level].append(res)
+        print(f"run {r} {level} ({master}): {json.dumps(res)}", file=sys.stderr, flush=True)
 
     best = {k: min(rs, key=lambda x: x["sec"]) for k, rs in results.items()}
     ts, tb = best["small"]["sec"], best["big"]["sec"]
