@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_neardup_verified",
     "dedup_simhash",
+    "semdedup_embeddings",
+    "dedup_span_coverage",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_embedding_neardup",
@@ -82,6 +84,8 @@ DOC_QUERIES = [
     "dedup_minhash_lsh",
     "dedup_neardup_verified",
     "dedup_simhash",
+    "semdedup_embeddings",
+    "dedup_span_coverage",
     "ann_cosine_topk",
     "ann_ivf_topk",
     "ann_embedding_neardup",

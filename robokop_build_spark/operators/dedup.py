@@ -348,6 +348,76 @@ def lsh_verified_near_duplicates(
     )
 
 
+def cross_doc_spans(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+    min_df: int = 2,
+) -> DataFrame:
+    """Cross-document duplicated-span coverage — the repeated-n-gram span
+    signal of the big public pretraining pipelines (MassiveText /
+    RefinedWeb run exactly this shape of filter; the exact-substring
+    variant is Lee et al. 2022's suffix-array dedup, whose hash-n-gram
+    approximation this is): for every document, how many of its tokens sit
+    inside a word n-gram that also appears in at least min_df-1 OTHER
+    documents. Complements text.repetition_stats (WITHIN-doc repetition —
+    boilerplate/loop output) and the pairwise dedup family (which scores
+    whole-doc similarity, not shared spans): a doc can be globally unique
+    yet 40% license-header.
+
+    Shape at 100 TB: the positional gram stream is one row per token
+    (linear; grams are md5-hashed BEFORE the shuffle so the shuffle key is
+    a fixed-width digest, never the n-word string), document frequency is
+    one groupBy with map-side partial aggregation, and the flag-back join
+    is hash-on-digest with both sides already partitioned by it. Coverage
+    union-length needs no interval explode: flagged start positions are
+    sorted per doc once and each contributes min(n, gap-to-next) tokens —
+    a single window pass. md5 rather than xxhash64 because the digest must
+    be reproducible by external engines (same rule as the sampling ops);
+    collisions (2^-128) are the declared approximation, exactly as in the
+    MinHash family.
+
+    Tokenization matches word_shingles (split on single space, case
+    preserved). Docs shorter than n tokens have no grams and report
+    coverage 0. Returns one row per input doc:
+    (doc_id, n_tokens, dup_tokens, dup_fraction)."""
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
+    )
+    grams = toks.select(
+        "doc_id", F.posexplode(shingles_from_tokens(F.col("t"), n)).alias("pos", "g")
+    ).select("doc_id", "pos", F.md5("g").alias("h"))
+    flagged = (
+        grams.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") >= min_df)
+        .select("h")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cov = (
+        grams.join(flagged, "h")
+        .withColumn(
+            "contrib",
+            F.least(
+                F.lit(n), F.coalesce(F.lead("pos").over(w) - F.col("pos"), F.lit(n))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("contrib").alias("dup_tokens"))
+    )
+    n_tokens = F.size("t").cast("long")
+    dup = F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long")
+    return toks.join(cov, "doc_id", "left").select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        dup.alias("dup_tokens"),
+        F.round(dup / n_tokens, 6).alias("dup_fraction"),
+    )
+
+
 SIMHASH_SCHEMA = "id string, simhash long"
 
 

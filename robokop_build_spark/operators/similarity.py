@@ -311,6 +311,174 @@ def embedding_near_duplicates(
     )
 
 
+def semantic_dedup(
+    embeddings: DataFrame,
+    centroids: list[list[float]],
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    pairwise: str = "fold",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus by a k-means coarse quantizer
+    (the SAME deterministic trainer/assignment kernel IVF uses —
+    ivf_train_centroids / _cell_distances), then compare pairs ONLY within
+    a cell, so total pairwise work is sum(|cell|²) ≈ n^1.5 at the √n nlist
+    sizing rule instead of n² — the property that makes semantic dedup
+    runnable on a 100-TB embedding table. The cell id is the shuffle key;
+    each cell's pair set is local to one partition group.
+
+    Keeper rule (the paper's): within a near-duplicate pair the member with
+    the LOWER cosine to its cell centroid survives (it carries more novel
+    signal); ties broken by lower id. A row is therefore DROPPED when some
+    other row in its cell has pairwise cosine ≥ threshold and outranks it
+    under (cent_sim ASC, id ASC). Deterministic end to end: stride-init
+    k-means, 6dp-rounded L2 argmin assignment (stable lowest-cid ties),
+    6dp-rounded cosines — every constant and tie rule replicable in an
+    external SQL engine from the shared centroid literals.
+
+    Returns the DROPPED rows: (id, cid, dup_of, score) where dup_of is the
+    strongest dominating near-duplicate (score DESC, id ASC). Zero-norm
+    vectors are undefined under cosine and yield null scores (never pass
+    the threshold) — same in any IEEE SQL engine.
+
+    pairwise selects the within-cell kernel: "fold" (default) scores each
+    candidate pair with the JVM sequential-fold cosine — whole-stage
+    codegen, zero Python, and the exact arithmetic order the generated
+    DuckDB twin states, so it is the oracle-parity path; "arrow" runs one
+    normalized numpy matmul per cell via applyInPandas — the big-corpus
+    path (a cell of p rows costs one p×p GEMM instead of p² interpreted
+    array folds; measured order-of-magnitude faster at 100k+ cells of
+    √n population). Both round to 6dp before the threshold and election,
+    and tests assert row-identical output on the real corpora; matmul
+    re-association vs sequential fold can differ near the last ulp of a
+    rounding edge, so the twin-checked driver query stays on "fold".
+
+    Reference analog: none (the reference pipeline has no embedding ops);
+    beyond-§2 LLM-pipeline family per SURVEY.md, next to
+    embedding_near_duplicates (LSH recall-bounded pairs) — this operator is
+    the curation-policy variant: partition-exhaustive within cells, with an
+    explicit keep/drop election rather than a pair list.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark import StorageLevel
+
+    if pairwise not in ("fold", "arrow"):
+        raise ValueError(f"pairwise must be 'fold' or 'arrow', got {pairwise!r}")
+    id_t = dict(embeddings.dtypes)[id_col]
+    vec_t = dict(embeddings.dtypes)[vec_col]
+    C = [[float(v) for v in c] for c in centroids]
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf):
+                X = np.stack(pdf[vec_col].to_numpy())
+                cid = _cell_distances(X, C).argmin(axis=1).astype("int32")
+            else:
+                cid = pd.Series([], dtype="int32")
+            yield pd.DataFrame(
+                {"id": pdf[id_col], "cid": cid, "vec": pdf[vec_col]}
+            )
+
+    sig = embeddings.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"id {id_t}, cid int, vec {vec_t}"
+    )
+    # centroid table is nlist(≈√n)-rows — broadcast; cent_sim and the row
+    # norm are computed ONCE per row (JVM fold), before the self-join that
+    # would otherwise re-derive them per candidate pair
+    spark = embeddings.sparkSession
+    cents_df = spark.createDataFrame(
+        [(i, c, float(np.sqrt(sum(v * v for v in c)))) for i, c in enumerate(C)],
+        "cid int, c array<double>, cnrm double",
+    )
+    nrm = F.sqrt(
+        F.aggregate(
+            F.col("vec"), F.lit(0.0), lambda a, v: a + v.cast("double") * v.cast("double")
+        )
+    )
+    dot_c = F.aggregate(
+        F.zip_with(F.col("vec"), F.col("c"), lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+    sig = (
+        sig.join(F.broadcast(cents_df), "cid")
+        .withColumn("nrm", nrm)
+        .withColumn("cent_sim", F.round(dot_c / (F.col("nrm") * F.col("cnrm")), 6))
+        .select("id", "cid", "vec", "nrm", "cent_sim")
+    )
+    if pairwise == "arrow":
+        out_schema = f"id {id_t}, cid int, dup_of {id_t}, score double"
+
+        def cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
+            if len(pdf) < 2:
+                return pd.DataFrame(
+                    {"id": pdf["id"][:0], "cid": pdf["cid"][:0],
+                     "dup_of": pdf["id"][:0], "score": pd.Series([], dtype="float64")}
+                )
+            X = np.stack(pdf["vec"].to_numpy()).astype(np.float64)
+            nrm = pdf["nrm"].to_numpy()
+            cs = pdf["cent_sim"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            S = np.round((X @ X.T) / np.outer(nrm, nrm), 6)
+            # dominance: score>=θ AND (cs_j < cs_i OR (cs_j == cs_i AND id_j < id_i))
+            dom = (S >= threshold) & (
+                (cs[None, :] < cs[:, None])
+                | ((cs[None, :] == cs[:, None]) & (ids[None, :] < ids[:, None]))
+            )
+            np.fill_diagonal(dom, False)
+            Sm = np.where(dom, S, -np.inf)
+            best = Sm.max(axis=1)
+            rows = np.flatnonzero(best > -np.inf)
+            dup_of, score = [], []
+            for i in rows:
+                ties = np.flatnonzero(Sm[i] == best[i])
+                j = ties[np.argmin(ids[ties])]
+                dup_of.append(ids[j])
+                score.append(S[i, j])
+            return pd.DataFrame(
+                {"id": ids[rows], "cid": pdf["cid"].iloc[0],
+                 "dup_of": dup_of, "score": score}
+            )
+
+        return sig.groupBy("cid").applyInPandas(cell_drops, schema=out_schema)
+    sig = register_persisted(sig.persist(StorageLevel.MEMORY_AND_DISK))
+    a, b = sig.alias("a"), sig.alias("b")
+    pair_dot = F.aggregate(
+        F.zip_with(
+            F.col("a.vec"), F.col("b.vec"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    dominated = a.join(b, "cid").filter(F.col("a.id") != F.col("b.id")).withColumn(
+        "score", F.round(pair_dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
+    ).filter(
+        (F.col("score") >= threshold)
+        & (
+            (F.col("b.cent_sim") < F.col("a.cent_sim"))
+            | (
+                (F.col("b.cent_sim") == F.col("a.cent_sim"))
+                & (F.col("b.id") < F.col("a.id"))
+            )
+        )
+    )
+    w = Window.partitionBy("a.id").orderBy(F.desc("score"), F.asc("b.id"))
+    return (
+        dominated.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("a.id").alias("id"),
+            F.col("cid"),
+            F.col("b.id").alias("dup_of"),
+            F.col("score"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # IVF (inverted-file) ANN — the cluster-pruned scale path for top-k search.
 # Beyond-reference LLM-pipeline operator (SURVEY.md §2 similarity-search

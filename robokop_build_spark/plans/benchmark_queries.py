@@ -1705,6 +1705,41 @@ FROM g
 """
 
 
+def dedup_span_coverage(spark, sf_dir):
+    """Cross-document duplicated-span coverage (beyond §2, LLM-pipeline
+    family): per-doc token count covered by word 8-grams shared with other
+    documents — the MassiveText/RefinedWeb repeated-span filter signal,
+    complementing text_repetition (within-doc) and the pairwise dedup ops
+    (whole-doc similarity). See operators/dedup.cross_doc_spans for the
+    linear-at-100-TB shape (digest-keyed shuffle, one window pass for the
+    interval union)."""
+    return D.cross_doc_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8, min_df=2
+    )
+
+
+SPAN_COVERAGE_SQL = """
+WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+grams AS (
+  SELECT doc_id, i - 1 AS pos, md5(array_to_string(t[i:i+7], ' ')) AS h
+  FROM toks, unnest(range(1, greatest(len(t) - 7, 0) + 1)) AS r(i)
+),
+flagged AS (SELECT h FROM grams GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+cov AS (
+  SELECT doc_id, sum(contrib) AS dup_tokens FROM (
+    SELECT g.doc_id,
+           least(8, coalesce(lead(g.pos) OVER (PARTITION BY g.doc_id ORDER BY g.pos) - g.pos, 8)) AS contrib
+    FROM grams g JOIN flagged USING (h))
+  GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.t) AS BIGINT) AS n_tokens,
+       CAST(coalesce(c.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+       round(CAST(coalesce(c.dup_tokens, 0) AS DOUBLE) / len(t.t), 6) AS dup_fraction
+FROM toks t LEFT JOIN cov c USING (doc_id)
+"""
+
+
 def range_window_join(spark, sf_dir):
     """Point-in-interval join: every 200th event opens a 1-hour window;
     each window aggregates all events inside it. The Spark side goes
@@ -2418,6 +2453,78 @@ FROM tq ORDER BY g, p
 """
 
 
+# fixture-calibrated semantic-dedup threshold: the synthetic embeddings are
+# random unit gaussians (dim 64), where genuinely semantic cosines like the
+# SemDeDup paper's 0.95 simply never occur (measured max pairwise cosine at
+# sf0.01: 0.513) — a production run sets ~0.95; 0.4 exercises the identical
+# plan with non-trivial row counts (≈20/160 drops at sf0.01/sf0.1)
+_SEMDEDUP_THRESHOLD = 0.4
+
+
+def semdedup_embeddings(spark, sf_dir):
+    """Semantic dedup over the embedding corpus (beyond §2, LLM-pipeline
+    family; SemDeDup, arXiv:2303.09540): k-means cells from the SAME
+    fingerprint-cached trainer the IVF index uses (_ivf_params_for), exact
+    pairwise cosine only WITHIN a cell (n^1.5 total work at the √n nlist
+    rule — the reason this runs at 100 TB), keeper = lowest
+    centroid-cosine member (ties: lowest id). Returns dropped rows with
+    their strongest dominating duplicate. The DuckDB twin replays the
+    election from the shared centroid literals, so the hash gate covers
+    assignment, both cosines, and the keeper election end to end."""
+    cents = _ivf_centroids_for(sf_dir)
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.semantic_dedup(
+        emb, cents, threshold=_SEMDEDUP_THRESHOLD
+    )
+
+
+def semdedup_sql(centroids: list[list[float]], threshold: float) -> str:
+    """DuckDB twin of semantic_dedup at a given centroid table: same
+    6dp-rounded L2 assignment (lowest-cid ties), same sequential-fold
+    cosine arithmetic, same (cent_sim ASC, id ASC) keeper order and
+    (score DESC, id ASC) strongest-partner election."""
+    import math
+
+    dim = len(centroids[0])
+    rows = ", ".join(
+        f"({cid}, [{', '.join(repr(v) for v in vec)}]::DOUBLE[], "
+        f"{math.sqrt(sum(v * v for v in vec))!r})"
+        for cid, vec in enumerate(centroids)
+    )
+    l2 = f"""round(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+      i -> (CAST(e.embedding[i] AS DOUBLE) - c.c[i]) * (CAST(e.embedding[i] AS DOUBLE) - c.c[i]))), (x, y) -> x + y), 6)"""
+    nrm = f"""sqrt(list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))), (x, y) -> x + y))"""
+    dot_c = f"""list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+      i -> CAST(e.embedding[i] AS DOUBLE) * c.c[i])), (x, y) -> x + y)"""
+    pair_dot = f"""list_reduce(list_prepend(0.0, list_transform(range(1, {dim + 1}),
+      i -> CAST(a.vec[i] AS DOUBLE) * CAST(b.vec[i] AS DOUBLE))), (x, y) -> x + y)"""
+    return f"""
+WITH cents(cid, c, cnrm) AS (VALUES {rows}),
+assigned AS (
+  SELECT id, vec, cid, nrm, cent_sim FROM (
+    SELECT e.vec_id AS id, e.embedding AS vec, c.cid, {nrm} AS nrm,
+           round({dot_c} / ({nrm} * c.cnrm), 6) AS cent_sim,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY {l2} ASC, c.cid ASC) AS rn
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rn = 1
+),
+dom AS (
+  SELECT a.id AS id, a.cid AS cid, b.id AS other,
+         round({pair_dot} / (a.nrm * b.nrm), 6) AS score
+  FROM assigned a JOIN assigned b USING (cid)
+  WHERE a.id <> b.id
+    AND round({pair_dot} / (a.nrm * b.nrm), 6) >= {threshold!r}
+    AND (b.cent_sim < a.cent_sim
+         OR (b.cent_sim = a.cent_sim AND b.id < a.id))
+)
+SELECT id, cid, other AS dup_of, score FROM (
+  SELECT *, row_number() OVER (PARTITION BY id ORDER BY score DESC, other ASC) AS rn
+  FROM dom
+) WHERE rn = 1
+"""
+
+
 # --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
@@ -2459,6 +2566,8 @@ QUERIES = {
     "kg_span_roundtrip": kg_span_roundtrip,
     "a13_hll_distinct": a13_hll_distinct,
     "a14_hist_quantile": a14_hist_quantile,
+    "semdedup_embeddings": semdedup_embeddings,
+    "dedup_span_coverage": dedup_span_coverage,
     # -- block 3: high-value entries kept inside the 50-row window ---------
     "kg_end_to_end": kg_end_to_end,
     "kg_var_length": kg_var_length,
@@ -2654,7 +2763,10 @@ def lazy_oracles() -> dict[str, str]:
     ann_ivf_topk instead of refusing to run everything else."""
     try:
         cents, nprobe, _, _ = _ivf_params_for(DRIVER_SF_DIR)
-        return {"ann_ivf_topk": ivf_sql(cents, nprobe)}
+        return {
+            "ann_ivf_topk": ivf_sql(cents, nprobe),
+            "semdedup_embeddings": semdedup_sql(cents, _SEMDEDUP_THRESHOLD),
+        }
     # OSError: dir/file missing; ValueError: corrupt parquet (pyarrow's
     # ArrowInvalid subclasses it) — either way degrade by omission instead
     # of taking the whole oracle surface down with this one twin
@@ -2720,6 +2832,7 @@ ORACLES = {
     "a10_percentiles": PERCENTILES_SQL,
     "a13_hll_distinct": A13_SQL,
     "a14_hist_quantile": A14_SQL,
+    "dedup_span_coverage": SPAN_COVERAGE_SQL,
     "a11_pivot_status": PIVOT_SQL,
     "w5_moving_sum": MOVING_SQL,
     "j11_bucketed_colocated": J11_SQL,

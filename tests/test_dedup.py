@@ -178,3 +178,33 @@ def test_dedup_cluster_canonical_invariants(spark):
         assert sum(1 for m in members if m["keep"]) == 1
         for m in members:
             assert m["keep"] == (m["doc_id"] == canon)
+
+
+def test_cross_doc_spans_coverage(spark):
+    """Known corpus: d1/d2 share one 8-gram (8 covered tokens each);
+    d4/d5 share a 9-token span => two OVERLAPPING flagged grams whose
+    union must count 9 tokens, not 16 (the window min(n, gap) rule);
+    d3 is unique => coverage 0."""
+    from robokop_build_spark.operators.dedup import cross_doc_spans
+
+    docs = spark.createDataFrame(
+        [
+            ("d1", "a b c d e f g h x y"),
+            ("d2", "z a b c d e f g h w"),
+            ("d3", "q r s t u v w x"),
+            ("d4", "a b c d e f g h i"),
+            ("d5", "x a b c d e f g h i"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["dup_tokens"], r["dup_fraction"])
+        for r in cross_doc_spans(docs, n=8, min_df=2).collect()
+    }
+    assert out == {
+        "d1": (10, 8, 0.8),
+        "d2": (10, 8, 0.8),
+        "d3": (8, 0, 0.0),
+        "d4": (9, 9, 1.0),
+        "d5": (10, 9, 0.9),
+    }

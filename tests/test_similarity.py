@@ -276,3 +276,64 @@ def test_ivf_exact_calibration_matches_independent_replay(spark):
         hits += sum(1 for j in exact if assign[j] in cells)
         tot += 5
     assert abs(hits / tot - recall) < 1e-9
+
+
+def test_semantic_dedup_keeper_election(spark):
+    """SemDeDup contract on a hand-crafted corpus: within a cell, every row
+    with a >=threshold neighbor of LOWER centroid-cosine is dropped, the
+    group's lowest-cent-sim member survives, and dup_of is the strongest
+    dominating partner. Cross-cell near-dups are (by design) not compared."""
+    import numpy as np
+
+    from robokop_build_spark.operators.similarity import semantic_dedup
+
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    vecs = {
+        1: [1.0, 0.0, 0.0, 0.0],     # cell 0, cent_sim 1.0      -> dropped
+        2: [0.99, 0.1, 0.0, 0.0],    # cell 0, cent_sim ~0.995   -> dropped
+        3: [0.98, 0.15, 0.0, 0.0],   # cell 0, lowest cent_sim   -> kept
+        4: [0.0, 1.0, 0.0, 0.0],     # cell 1, cent_sim 1.0      -> dropped
+        5: [0.1, 0.99, 0.0, 0.0],    # cell 1, lowest cent_sim   -> kept
+        6: [0.0, 0.0, 1.0, 0.0],     # cell 0 (tie -> lowest cid), orthogonal -> kept
+    }
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in sorted(vecs.items())],
+        "vec_id bigint, embedding array<float>",
+    )
+    out = {
+        r["id"]: r
+        for r in semantic_dedup(emb, cents, threshold=0.95).collect()
+    }
+    assert sorted(out) == [1, 2, 4]
+    # dup_of = strongest dominator: for id 1 that's id 2 (cos(1,2) > cos(1,3))
+    assert out[1]["dup_of"] == 2 and out[1]["cid"] == 0
+    assert out[2]["dup_of"] == 3
+    assert out[4]["dup_of"] == 5 and out[4]["cid"] == 1
+
+    # scores are the 6dp-rounded float32-input cosines (exact replication)
+    def cos(a, b):
+        a = np.asarray(vecs[a], dtype=np.float32).astype(np.float64)
+        b = np.asarray(vecs[b], dtype=np.float32).astype(np.float64)
+        return round(float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b))), 6)
+
+    assert out[1]["score"] == cos(1, 2)
+    assert out[4]["score"] == cos(4, 5)
+
+
+def test_semantic_dedup_kernels_agree(spark):
+    """The arrow (per-cell GEMM) kernel must produce row-identical output
+    to the fold (JVM, oracle-parity) kernel on the real fixture corpus."""
+    from robokop_build_spark.operators.similarity import semantic_dedup
+    from robokop_build_spark.plans.benchmark_queries import _ivf_centroids_for
+
+    sf = "/root/testdata/sf0.1"
+    cents = _ivf_centroids_for(sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    fold = sorted(
+        map(tuple, semantic_dedup(emb, cents, threshold=0.4).collect())
+    )
+    arrow = sorted(
+        map(tuple, semantic_dedup(emb, cents, threshold=0.4, pairwise="arrow").collect())
+    )
+    assert len(fold) > 0
+    assert fold == arrow
