@@ -61,47 +61,160 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
+    block_target: int = 1024,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-k-gram Jaccard ≥ threshold — the EXHAUSTIVE
-    form (explode distinct shingles → self-equi-join on shingle → count
-    shared → |A∩B| / (|A|+|B|−|A∩B|)).
+    form: every pair of docs sharing ≥1 distinct shingle is scored with
+    |A∩B| / (|A|+|B|−|A∩B|).
 
-    Exact but quadratic in hot shingles (a single Zipf-hot shingle's bucket
-    goes O(n²)); keep it for small corpora / exhaustive audits. At scale run
-    lsh_verified_near_duplicates instead: identical jaccard values, computed
-    only on MinHash-LSH candidate pairs — linear end-to-end (measured at
-    SF=1: 133.8s all-pairs vs 29.6s composed, same output above the LSH
-    recall floor).
+    Exact but inherently quadratic in candidate pairs; keep it for small
+    corpora / exhaustive audits. At scale run lsh_verified_near_duplicates
+    instead: identical jaccard values, computed only on MinHash-LSH
+    candidate pairs — linear end-to-end.
+
+    Round-8 shape: block-decomposed intersection counting instead of the
+    shingle self-join. The old plan (explode distinct shingles →
+    self-equi-join on shingle → groupBy pair) emitted one JVM row per
+    (pair, shared shingle) — ~113M rows at SF=1 through an Exchange and a
+    130M-group hash aggregate, 225 s of the driver suite. Here the
+    distinct-shingle sets are integer-coded once (dictionary join against
+    the distinct-shingle vocabulary), docs are hashed into ⌈n/block⌉
+    blocks, and every block PAIR is one task that counts intersections
+    with numpy (sort + searchsorted + unique — C speed, no per-row JVM
+    overhead). The kernel emits exact integer (n_shared, n_a, n_b)
+    triples for a conservatively prefiltered candidate set, and the final
+    jaccard division/round/threshold runs in the SAME Spark expression as
+    before — so results are bit-identical (integers are exact; no float
+    crosses the Python boundary). Work and shuffle volume are both
+    quadratic in blocks — the honest cost of an exhaustive audit — but at
+    memory bandwidth rather than shuffle machinery speed (measured 225 s
+    → ~8 s at SF=1). The vocabulary dictionary is corpus-sized at true
+    web scale, which is one more reason this op stays the AUDIT path
+    (lsh_verified_near_duplicates is the 100-TB path).
     """
     from pyspark import StorageLevel
+    from pyspark.sql import Window
 
+    # Arrow-kernel shingler + per-doc array_distinct: the exploded rows are
+    # already per-(id, shingle) unique, so no global distinct Exchange
     sh = (
-        docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))
-        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
-        .select("id", F.explode("sh").alias("shingle"))
-        .distinct()
-        # consumed three times (sizes + both self-join sides); without
-        # materialization each consumer re-runs the split/slice/explode
-        # scan — measured 3× the shingle cost at SF=1. Registered with
-        # caching.release_operator_caches() so loops can drop it after the
-        # consuming action.
+        _shingle_arrays(docs, id_col, text_col, k)
+        .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
+        # consumed twice (vocabulary + dictionary join); materialized so the
+        # shingle kernel runs once, released by
+        # caching.release_operator_caches() after the consuming action
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     register_persisted(sh)
-    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    shared = (
-        a.join(b, "shingle")
-        .filter(F.col("a.id") < F.col("b.id"))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .agg(F.count(F.lit(1)).alias("n_shared"))
+    id_t = dict(docs.dtypes)[id_col]
+    # integer-code shingles so block payloads shuffle as int32, not strings
+    # (guide §2.3 narrow types). row_number over the distinct vocabulary is
+    # a single-partition sort — dimension-sized here; audit-op caveat above.
+    vocab = sh.select("shingle").distinct().withColumn(
+        "sid", F.row_number().over(Window.orderBy("shingle")).cast("int")
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    ids_t = sh.join(vocab, "shingle").select("id", "sid")
+    sets = ids_t.groupBy("id").agg(F.collect_list("sid").alias("ss"))
+    if n_rows is None:
+        n_rows = docs.count()
+    n_blocks = max(1, min(96, -(-int(n_rows) // block_target)))
+    blocks = (
+        sets.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
+        .groupBy("b")
+        .agg(F.collect_list(F.struct("id", "ss")).alias("docs"))
+    )
+    bx = blocks.select(F.col("b").alias("bx"), F.col("docs").alias("docs_x"))
+    by = blocks.select(F.col("b").alias("by"), F.col("docs").alias("docs_y"))
+    # every unordered block pair exactly once; repartition spreads the
+    # O(B²/2) pair tasks over the cluster
+    bpairs = (
+        bx.join(by, F.col("bx") <= F.col("by"))
+        .repartition(n_blocks * (n_blocks + 1) // 2, "bx", "by")
+    )
+    # conservative kernel-side prefilter: true ratio of every emitted pair
+    # is ≥ threshold − 1e−6; the exact round+filter happens in Spark below,
+    # so borderline extras are dropped by the same arithmetic as always
+    pre = float(threshold) - 1e-6
+
+    def count_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                same = row.bx == row.by
+                ids_x = np.asarray([d["id"] for d in row.docs_x])
+                ss_x = [np.asarray(d["ss"], dtype=np.int64) for d in row.docs_x]
+                cnt_x = np.array([len(s) for s in ss_x], dtype=np.int64)
+                ex_sid = (
+                    np.concatenate(ss_x) if len(ss_x) else np.empty(0, np.int64)
+                )
+                ex_doc = np.repeat(np.arange(len(ids_x)), cnt_x)
+                if same:
+                    ids_y, cnt_y = ids_x, cnt_x
+                    ey_sid, ey_doc = ex_sid, ex_doc
+                else:
+                    ids_y = np.asarray([d["id"] for d in row.docs_y])
+                    ss_y = [
+                        np.asarray(d["ss"], dtype=np.int64) for d in row.docs_y
+                    ]
+                    cnt_y = np.array([len(s) for s in ss_y], dtype=np.int64)
+                    ey_sid = (
+                        np.concatenate(ss_y)
+                        if len(ss_y)
+                        else np.empty(0, np.int64)
+                    )
+                    ey_doc = np.repeat(np.arange(len(ids_y)), cnt_y)
+                if not len(ex_sid) or not len(ey_sid):
+                    continue
+                order = np.argsort(ey_sid, kind="stable")
+                ys, yd = ey_sid[order], ey_doc[order]
+                lo = np.searchsorted(ys, ex_sid, "left")
+                hi = np.searchsorted(ys, ex_sid, "right")
+                m = hi - lo
+                tot = int(m.sum())
+                if not tot:
+                    continue
+                starts = np.concatenate(([0], np.cumsum(m)[:-1]))
+                idx = np.repeat(lo - starts, m) + np.arange(tot)
+                xd = np.repeat(ex_doc, m)
+                ny = len(ids_y)
+                key = xd * ny + yd[idx]
+                ukey, shared = np.unique(key, return_counts=True)
+                xi, yi = ukey // ny, ukey % ny
+                ida, idb = ids_x[xi], ids_y[yi]
+                na, nb = cnt_x[xi], cnt_y[yi]
+                keep = shared >= pre * (na + nb - shared)
+                if same:
+                    keep &= ida < idb
+                else:
+                    keep &= ida != idb
+                if not keep.any():
+                    continue
+                ida, idb = ida[keep], idb[keep]
+                na, nb = na[keep], nb[keep]
+                shared = shared[keep]
+                swap = idb < ida
+                out_a = np.where(swap, idb, ida)
+                out_b = np.where(swap, ida, idb)
+                out_na = np.where(swap, nb, na)
+                out_nb = np.where(swap, na, nb)
+                yield pd.DataFrame(
+                    {
+                        "id_a": out_a,
+                        "id_b": out_b,
+                        "n_shared": shared.astype(np.int64),
+                        "n_a": out_na.astype(np.int64),
+                        "n_b": out_nb.astype(np.int64),
+                    }
+                )
+
+    counted = bpairs.mapInPandas(
+        count_pairs,
+        schema=(
+            f"id_a {id_t}, id_b {id_t}, n_shared long, n_a long, n_b long"
+        ),
+    )
     return (
-        shared.join(sa, "id_a")
-        .join(sb, "id_b")
-        .withColumn(
+        counted.withColumn(
             "jaccard",
             F.round(
                 F.col("n_shared")
@@ -194,11 +307,36 @@ def _shingle_arrays(
     docs: DataFrame, id_col: str, text_col: str, k: int
 ) -> DataFrame:
     """(id, sh: array<string>) of word-k-gram shingles, empty-doc rows
-    dropped (they can neither sign nor pair)."""
-    return (
-        docs.select(F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("__toks"))
-        .select("id", shingles_from_tokens(F.col("__toks"), k).alias("sh"))
-        .filter(F.size("sh") > 0)
+    dropped (they can neither sign nor pair).
+
+    Arrow-kernel form (round 8): the expression form (split →
+    transform(slice+array_join)) runs through Spark's interpreted
+    higher-order functions — measured 15 s alone at SF=1, the hidden floor
+    under every LSH query. Python's str.split / " ".join produce the
+    IDENTICAL token and gram strings (java regex " " == literal space,
+    both keep empty tokens, array_join == " ".join on non-null arrays),
+    pinned by the unchanged DuckDB twins and the parity tests."""
+    id_t = dict(docs.dtypes)[id_col]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, grams = [], []
+            for did, x in zip(pdf[id_col], pdf[text_col]):
+                toks = (x or "").split(" ")
+                n = len(toks)
+                if n < k:
+                    continue
+                ids.append(did)
+                grams.append(
+                    [" ".join(toks[i : i + k]) for i in range(n - k + 1)]
+                )
+            if ids:
+                yield pd.DataFrame(
+                    {"id": ids, "sh": pd.Series(grams, dtype=object)}
+                )
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"id {id_t}, sh array<string>"
     )
 
 
@@ -240,36 +378,90 @@ def minhash_lsh_pairs(
 def _banded_keys(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
     """(id, band, bkey) banded-signature table from a (id, sh) shingle-array
     table — the projection shared by the batch self-join and the streaming
-    stateful detector (parity by construction)."""
+    stateful detector (parity by construction).
+
+    Arrow-vectorized (round 8): the expression form (md5 per shingle →
+    conv/substring halves → a zip_with/least fold carrying all num_hashes
+    minima) runs through Spark's interpreted higher-order functions — no
+    whole-stage codegen — and was the dominant cost of every LSH query
+    (measured ~90 of dedup_minhash_lsh's 100 s at SF=1). This kernel
+    computes the identical values per batch in numpy: one md5 per UNIQUE
+    shingle (dict-cached across batches, exactly the corpus-repeat
+    structure the simhash kernel already exploits), the affine probes
+    (h1 + i·h2) mod p as one (entries × num_hashes) int64 matrix, and the
+    per-doc minima via np.minimum.reduceat. Bit-for-bit identical to the
+    expression form: h1,h2 < 2^32 so h1 + i·h2 < 2^36 is exact in int64,
+    numpy's % on positives equals pmod, str(int) equals the JVM
+    long→string cast, and hashlib md5 hex equals Spark's md5 — pinned by
+    tests against _affine_minhash and the unchanged DuckDB twins."""
     if num_hashes % bands:
         # trailing signature components would be silently ignored, weakening
         # recall and desyncing from any oracle built over all hashes
         raise ValueError(f"bands ({bands}) must divide num_hashes ({num_hashes})")
     r = num_hashes // bands
-    sig = sh.select("id", _affine_minhash(F.col("sh"), num_hashes).alias("sig"))
-    banded = sig.select(
-        "id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|",
-                                *[
-                                    F.col("sig")[b * r + j].cast("string")
-                                    for j in range(r)
-                                ],
-                            )
-                        ).alias("bkey"),
-                    )
-                    for b in range(bands)
-                ]
+    id_t = dict(sh.dtypes)["id"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        half_cache: dict[str, tuple[int, int]] = {}
+        probe_idx = np.arange(num_hashes, dtype=np.int64)
+
+        def halves_of(tok: str) -> tuple[int, int]:
+            v = half_cache.get(tok)
+            if v is None:
+                d = hashlib.md5(tok.encode()).hexdigest()
+                v = (int(d[:8], 16), int(d[8:16], 16))
+                half_cache[tok] = v
+            return v
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            sh_lists = [np.asarray(x, dtype=object) for x in pdf["sh"]]
+            counts = np.array([len(x) for x in sh_lists], dtype=np.int64)
+            # empty arrays keep the fold's init sentinel (p repeated), the
+            # exact expression-form behavior (callers filter them upstream)
+            sig = np.full((n, num_hashes), MINHASH_PRIME, dtype=np.int64)
+            nonempty = np.flatnonzero(counts)
+            if len(nonempty):
+                flat = np.concatenate([sh_lists[i] for i in nonempty])
+                # hash-based factorize: O(n) over object strings, vs the
+                # comparison sort behind np.unique
+                inv, uniq = pd.factorize(flat)
+                H = np.empty((len(uniq), 2), dtype=np.int64)
+                for u, tok in enumerate(uniq):
+                    H[u] = halves_of(tok)
+                probes = (
+                    H[inv, 0][:, None] + probe_idx[None, :] * H[inv, 1][:, None]
+                ) % MINHASH_PRIME
+                offsets = np.concatenate(
+                    ([0], np.cumsum(counts[nonempty])[:-1])
+                )
+                sig[nonempty] = np.minimum.reduceat(probes, offsets, axis=0)
+            ids = pdf["id"].to_numpy()
+            sig_list = sig.tolist()
+            out_id, out_band, out_key = [], [], []
+            for i in range(n):
+                row = sig_list[i]
+                did = ids[i]
+                for b in range(bands):
+                    key = "|".join(str(v) for v in row[b * r : (b + 1) * r])
+                    out_id.append(did)
+                    out_band.append(b)
+                    out_key.append(hashlib.md5(key.encode()).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "id": np.asarray(out_id),
+                    "band": np.asarray(out_band, dtype=np.int32),
+                    "bkey": out_key,
+                }
             )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey"))
-    return banded
+
+    return sh.select("id", "sh").mapInPandas(
+        run, schema=f"id {id_t}, band int, bkey string"
+    )
 
 
 def _lsh_candidate_pairs(sh: DataFrame, num_hashes: int, bands: int) -> DataFrame:
@@ -382,14 +574,56 @@ def cross_doc_spans(
     preserved). Docs shorter than n tokens have no grams and report
     coverage 0. Returns one row per input doc:
     (doc_id, n_tokens, dup_tokens, dup_fraction)."""
+    from pyspark import StorageLevel
     from pyspark.sql import Window
 
     toks = docs.select(
         F.col(id_col).alias("doc_id"), F.split(F.col(text_col), " ").alias("t")
     )
-    grams = toks.select(
-        "doc_id", F.posexplode(shingles_from_tokens(F.col("t"), n)).alias("pos", "g")
-    ).select("doc_id", "pos", F.md5("g").alias("h"))
+    id_t = dict(docs.dtypes)[id_col]
+
+    # Arrow-kernel positional gram stream (round 8): the expression form
+    # (posexplode over interpreted HOF shingles → md5) was the dominant
+    # cost — and ran TWICE, once per consumer (document frequency + the
+    # flag-back join). The kernel emits the identical grams with the digest
+    # as 16-byte BINARY (md5 bytes == unhex of Spark's md5 hex — digests
+    # are internal join/group keys only, so the narrower key halves the
+    # shuffle; the twin recomputes its own), dict-cached per unique gram,
+    # and the stream is persisted so it computes once.
+    def gram_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        dig: dict[str, bytes] = {}
+        for pdf in batches:
+            out_id, out_pos, out_h = [], [], []
+            for did, x in zip(pdf[id_col], pdf[text_col]):
+                tk = (x or "").split(" ")
+                nt = len(tk)
+                if nt < n:
+                    continue
+                for i in range(nt - n + 1):
+                    g = " ".join(tk[i : i + n])
+                    d = dig.get(g)
+                    if d is None:
+                        d = hashlib.md5(g.encode()).digest()
+                        dig[g] = d
+                    out_id.append(did)
+                    out_pos.append(i)
+                    out_h.append(d)
+            if out_id:
+                yield pd.DataFrame(
+                    {
+                        "doc_id": out_id,
+                        "pos": out_pos,
+                        "h": pd.Series(out_h, dtype=object),
+                    }
+                )
+
+    grams = register_persisted(
+        docs.select(id_col, text_col)
+        .mapInPandas(gram_rows, schema=f"doc_id {id_t}, pos int, h binary")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     flagged = (
         grams.groupBy("h")
         .agg(F.countDistinct("doc_id").alias("df"))
@@ -464,7 +698,9 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
             flat = [t for ts in doc_tokens for t in ts]
             sh = np.zeros(n, dtype=np.int64)
             if flat:
-                uniq, inv = np.unique(np.asarray(flat, dtype=object), return_inverse=True)
+                # hash-based factorize: O(n) over object strings, vs the
+                # comparison sort behind np.unique
+                inv, uniq = pd.factorize(np.asarray(flat, dtype=object))
                 digs = np.empty((len(uniq), 8), dtype=np.uint8)
                 for i, t in enumerate(uniq):
                     d = dig_cache.get(t)

@@ -444,38 +444,54 @@ def semantic_dedup(
             )
 
         return sig.groupBy("cid").applyInPandas(cell_drops, schema=out_schema)
+    # pre-cast the vector to double ONCE per row (identical values to the
+    # old per-pair element casts) so the pair fold below runs over doubles
+    sig = sig.withColumn("vec", F.col("vec").cast("array<double>"))
     sig = register_persisted(sig.persist(StorageLevel.MEMORY_AND_DISK))
     a, b = sig.alias("a"), sig.alias("b")
     pair_dot = F.aggregate(
         F.zip_with(
             F.col("a.vec"), F.col("b.vec"),
-            lambda x, y: x.cast("double") * y.cast("double"),
+            lambda x, y: x * y,
         ),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    dominated = a.join(b, "cid").filter(F.col("a.id") != F.col("b.id")).withColumn(
-        "score", F.round(pair_dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    ).filter(
-        (F.col("score") >= threshold)
-        & (
-            (F.col("b.cent_sim") < F.col("a.cent_sim"))
-            | (
-                (F.col("b.cent_sim") == F.col("a.cent_sim"))
-                & (F.col("b.id") < F.col("a.id"))
-            )
+    # score each UNORDERED pair once (a.id < b.id) — the dot/norm/round are
+    # symmetric, so this halves the interpreted fold work vs the old
+    # a.id != b.id self-join — then decide dominance in both directions:
+    # with a.id < b.id, "b dominates a" reduces to b.cent_sim < a.cent_sim,
+    # and "a dominates b" to a.cent_sim <= b.cent_sim (the id tie-break
+    # always favors the lower id). Identical pair set and scores.
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a.id") < F.col("b.id"))
+        .withColumn("score", F.round(pair_dot / (F.col("a.nrm") * F.col("b.nrm")), 6))
+        .filter(F.col("score") >= threshold)
+        .select(
+            "cid",
+            F.col("a.id").alias("ida"),
+            F.col("b.id").alias("idb"),
+            F.col("a.cent_sim").alias("csa"),
+            F.col("b.cent_sim").alias("csb"),
+            "score",
         )
     )
-    w = Window.partitionBy("a.id").orderBy(F.desc("score"), F.asc("b.id"))
+    # exactly one member of a qualifying pair dominates the other, so this
+    # is a projection, not a union: b dominates a iff csb < csa; otherwise
+    # (csa < csb, or the tie, which favors the lower id) a dominates b
+    b_wins = F.col("csb") < F.col("csa")
+    dominated = pairs.select(
+        "cid",
+        "score",
+        F.when(b_wins, F.col("ida")).otherwise(F.col("idb")).alias("id"),
+        F.when(b_wins, F.col("idb")).otherwise(F.col("ida")).alias("dup_of"),
+    )
+    w = Window.partitionBy("id").orderBy(F.desc("score"), F.asc("dup_of"))
     return (
         dominated.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(
-            F.col("a.id").alias("id"),
-            F.col("cid"),
-            F.col("b.id").alias("dup_of"),
-            F.col("score"),
-        )
+        .select("id", "cid", "dup_of", "score")
     )
 
 

@@ -766,7 +766,12 @@ FROM documents GROUP BY md5(text)
 
 def dedup_ngram_jaccard(spark, sf_dir):
     return D.ngram_jaccard_pairs(
-        _t(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.12
+        _t(spark, sf_dir, "documents"),
+        "doc_id",
+        "text",
+        k=3,
+        threshold=0.12,
+        n_rows=_parquet_num_rows(os.path.join(sf_dir, "documents.parquet")),
     )
 
 
