@@ -302,15 +302,28 @@ def aggregate_program_triples(
         es = expand_edge_starts(sr, pm_rep, prog, end_reps, require_complete)
         edge_starts = es if edge_starts is None else edge_starts.unionByName(es)
     key = ["subj", "pred", "obj", "edge_source"]
-    edge_starts = edge_starts.distinct()
+    # dimension-sized (predicate-map-bounded): materialize once — it feeds
+    # THREE consumers (pubs join, inputs join, the in-degree probe below);
+    # without this each broadcast re-runs the frontier-join DAG
+    edge_starts = edge_starts.distinct().localCheckpoint(eager=True)
 
     # per-edge publications: merge the member start arrays and re-cap —
     # array-at-a-time (flatten/dedup/sort/slice on whole arrays), never an
     # explode: re-windowing the exploded elements measured 55s/1240 CPU-s/
-    # 25% GC at SF=1 for work these vector expressions do in ~2s. Two salted
-    # phases bound the merge buffer at (in_degree/nsalt)×cap and nsalt×cap
-    # arrays respectively.
+    # 25% GC at SF=1 for work these vector expressions do in ~2s. The merge
+    # buffer is in_degree×cap arrays; when the measured max in-degree (a
+    # one-row agg over the dimension-sized edge_starts, plan-time) is small
+    # — the common case — a single merge pass suffices, and the salted
+    # pre-merge pass (which bounds the buffer at (in_degree/nsalt)×cap and
+    # nsalt×cap for hub edges) would only re-shuffle and re-sort the full
+    # array payload for nothing: each (edge, salt) group then holds a
+    # single member array. Both forms compute sorted(set(union))[:cap] —
+    # the k smallest of a union are contained in the union of each
+    # member's k smallest — so the choice never changes results.
     nsalt = 16
+    max_indeg = (
+        edge_starts.groupBy(*key).count().agg(F.max("count")).first()[0] or 0
+    )
     merge = lambda c: F.slice(  # noqa: E731
         F.array_sort(F.array_distinct(F.flatten(F.collect_list(c)))),
         1,
@@ -318,13 +331,19 @@ def aggregate_program_triples(
     )
     ep = start_pubs.join(
         F.broadcast(edge_starts.select(*key, F.col("start").alias("rep"))), "rep"
-    ).withColumn("_salt", F.pmod(F.xxhash64("rep"), F.lit(nsalt)).cast("int"))
-    pubs = (
-        ep.groupBy(*key, "_salt")
-        .agg(merge("pubs").alias("_part"))
-        .groupBy(*key)
-        .agg(merge("_part").alias("publications"))
     )
+    if max_indeg <= 4 * nsalt:
+        pubs = ep.groupBy(*key).agg(merge("pubs").alias("publications"))
+    else:
+        ep = ep.withColumn(
+            "_salt", F.pmod(F.xxhash64("rep"), F.lit(nsalt)).cast("int")
+        )
+        pubs = (
+            ep.groupBy(*key, "_salt")
+            .agg(merge("pubs").alias("_part"))
+            .groupBy(*key)
+            .agg(merge("_part").alias("publications"))
+        )
     inputs = (
         start_origins.join(
             F.broadcast(

@@ -109,8 +109,14 @@ def detect_mentions(
 
 
 # above this many start tokens the literal-array prefilter is disabled (see
-# _with_start_prefilter); tests override it to exercise the gate
-START_PREFILTER_MAX_LITERALS = 2048
+# _with_start_prefilter); tests override it to exercise the gate.
+# Round 8: lowered 2048 → 256 on measurement — arrays_overlap rebuilds the
+# hash probe of the smaller side per ROW, so the filter costs
+# O(|starts| + |tokens|) per span: at 899 starts it cost 3.7 s of JVM time
+# at SF=1 to remove rows the Arrow kernel rejects in ~1 s (detect noop
+# 5.5 s with prefilter vs 2.8 s without, identical 6 118 934 rows). The
+# filter only pays for itself when the start set is small.
+START_PREFILTER_MAX_LITERALS = 256
 
 
 def _with_start_prefilter(textual: DataFrame, trie) -> DataFrame:

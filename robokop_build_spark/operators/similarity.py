@@ -248,38 +248,51 @@ def embedding_near_duplicates(
             n_rows = _estimated_rows(embeddings)
         bits_per_table = auto_signature_bits(n_rows)
     by_table = near_duplicate_planes(dim, n_tables, bits_per_table, seed)
-    norm = F.sqrt(
-        F.aggregate(
-            F.col(vec_col),
-            F.lit(0.0),
-            lambda acc, v: acc + v.cast("double") * v.cast("double"),
-        )
-    )
-    # [tbl][bit] plane matrix attached as DATA via a one-row broadcast
-    # cross join (plan stays O(1)-sized at production dim/bit configs)
+    # Arrow-vectorized signature kernel (round 8): the expression form
+    # (n_tables × bits_per_table sequential-fold dots per vector through
+    # interpreted higher-order functions) measured ~6 s of the 9 s query at
+    # SF=1. numpy reproduces the EXACT fold arithmetic: np.cumsum is a
+    # sequential left-to-right accumulation, so cumsum(products)[-1] is
+    # bit-identical to the JVM aggregate fold (same IEEE ops, same order),
+    # the sign test and power-of-two bit packing are exact integers, and
+    # the norm is the same sqrt of a sequential sum of squares. Values are
+    # pinned by the unchanged DuckDB twin (plane fixtures + list_reduce).
+    import numpy as np
+
     nested = [[p for tt, _, p in by_table if tt == t] for t in range(n_tables)]
-    pf = plane_matrix_frame(embeddings.sparkSession, nested)
-    sig = embeddings.crossJoin(F.broadcast(pf)).select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("vec"),
-        # per-row norm computed ONCE here; the per-candidate cosine below
-        # then only needs the dot product (the norms otherwise re-derive
-        # per candidate pair through interpreted higher-order functions —
-        # the dominant cost at 6M candidates)
-        norm.alias("nrm"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.lit(n_tables)),
-                lambda t: F.struct(
-                    (t - F.lit(1)).cast("int").alias("tbl"),
-                    hyperplane_signature(
-                        vec_col, F.element_at(F.col("__planes"), t), bits_per_table
-                    ).alias("sig"),
-                ),
-            )
-        ).alias("ts"),
-    ).select(
-        "id", "vec", "nrm", F.col("ts.tbl").alias("tbl"), F.col("ts.sig").alias("sig")
+    P = np.asarray(nested, dtype=np.float64)  # (tables, bits, dim)
+    id_t = dict(embeddings.dtypes)[id_col]
+    vec_t = dict(embeddings.dtypes)[vec_col]
+    weights = (np.int64(1) << np.arange(bits_per_table, dtype=np.int64))
+
+    def sig_rows(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vecs = pdf[vec_col]
+            X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+            nrm = np.sqrt(np.cumsum(X * X, axis=1)[:, -1])
+            for t in range(n_tables):
+                # sequential-order dots: cumsum along dim == the JVM fold
+                dots = np.cumsum(X[:, None, :] * P[t][None, :, :], axis=2)[
+                    :, :, -1
+                ]
+                sig = ((dots >= 0) * weights[None, :]).sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "id": pdf[id_col],
+                        "vec": vecs,
+                        "nrm": nrm,
+                        "tbl": np.full(len(pdf), t, dtype=np.int32),
+                        "sig": sig.astype(np.int64),
+                    }
+                )
+
+    sig = embeddings.select(id_col, vec_col).mapInPandas(
+        sig_rows,
+        schema=f"id {id_t}, vec {vec_t}, nrm double, tbl int, sig long",
     )
     if max_bucket_size is not None:
         w = Window.partitionBy("tbl", "sig")

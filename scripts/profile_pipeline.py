@@ -36,7 +36,9 @@ def timed_run_stage(self, stage, compute, partition_by=None, force=False):
 
 cp.CheckpointManager.run_stage = timed_run_stage
 
-orig_lc = DataFrame.localCheckpoint
+from pyspark.sql.classic.dataframe import DataFrame as ClassicDF  # noqa: E402
+
+orig_lc = ClassicDF.localCheckpoint
 
 
 def timed_lc(self, eager=True):
@@ -46,7 +48,7 @@ def timed_lc(self, eager=True):
     return r
 
 
-DataFrame.localCheckpoint = timed_lc
+ClassicDF.localCheckpoint = timed_lc
 
 cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 spark = get_spark(
@@ -63,8 +65,13 @@ for i in range(runs):
     shutil.rmtree(work, ignore_errors=True)
     t0 = time.time()
     out = run_pipeline(spark, fixture_dir, work)
+    t1 = time.time()
     n = out["triples"].count()
-    print(f"RUN {i}: {time.time() - t0:.2f}s triples={n}", flush=True)
+    print(
+        f"RUN {i}: {time.time() - t0:.2f}s (final count "
+        f"{time.time() - t1:.2f}s) triples={n}",
+        flush=True,
+    )
     from robokop_build_spark.caching import release_operator_caches
 
     release_operator_caches()
