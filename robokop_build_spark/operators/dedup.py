@@ -61,7 +61,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     k: int = 3,
     threshold: float = 0.5,
-    block_target: int = 1024,
+    block_target: int = 4096,
     n_rows: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs by word-k-gram Jaccard ≥ threshold — the EXHAUSTIVE
@@ -94,28 +94,18 @@ def ngram_jaccard_pairs(
     (lsh_verified_near_duplicates is the 100-TB path).
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
 
-    # Arrow-kernel shingler + per-doc array_distinct: the exploded rows are
-    # already per-(id, shingle) unique, so no global distinct Exchange
-    sh = (
-        _shingle_arrays(docs, id_col, text_col, k)
-        .select("id", F.explode(F.array_distinct("sh")).alias("shingle"))
-        # consumed twice (vocabulary + dictionary join); materialized so the
-        # shingle kernel runs once, released by
-        # caching.release_operator_caches() after the consuming action
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    register_persisted(sh)
     id_t = dict(docs.dtypes)[id_col]
-    # integer-code shingles so block payloads shuffle as int32, not strings
-    # (guide §2.3 narrow types). row_number over the distinct vocabulary is
-    # a single-partition sort — dimension-sized here; audit-op caveat above.
-    vocab = sh.select("shingle").distinct().withColumn(
-        "sid", F.row_number().over(Window.orderBy("shingle")).cast("int")
+    # per-doc distinct shingle SETS straight from the Arrow shingler — no
+    # explode, no global distinct, no vocabulary join: one narrow kernel
+    # pass and ONE shuffle (the block groupBy below). Shingles travel as
+    # strings; each block-pair task integer-codes its own two payloads
+    # with pd.factorize (~5 ms), which replaced a 4-shuffle prep chain
+    # (explode+persist, vocabulary distinct, single-partition row_number,
+    # dictionary join, per-doc collect) measured at ~8 s of the SF=1 wall.
+    sets = _shingle_arrays(docs, id_col, text_col, k).select(
+        "id", F.array_distinct("sh").alias("ss")
     )
-    ids_t = sh.join(vocab, "shingle").select("id", "sid")
-    sets = ids_t.groupBy("id").agg(F.collect_list("sid").alias("ss"))
     if n_rows is None:
         n_rows = docs.count()
     n_blocks = max(1, min(96, -(-int(n_rows) // block_target)))
@@ -123,9 +113,34 @@ def ngram_jaccard_pairs(
         sets.withColumn("b", F.pmod(F.xxhash64("id"), F.lit(n_blocks)).cast("int"))
         .groupBy("b")
         .agg(F.collect_list(F.struct("id", "ss")).alias("docs"))
+        # flatten the payload into parallel flat arrays (ids / per-doc
+        # counts / concatenated shingles): the kernel then gets numpy
+        # arrays straight from Arrow instead of unpacking ~10^6 per-doc
+        # structs through Python dicts (measured ~2× kernel-side win); the
+        # HOF transforms here run over n_blocks rows only
+        .select(
+            "b",
+            F.transform("docs", lambda d: d["id"]).alias("ids"),
+            F.transform("docs", lambda d: F.size(d["ss"])).alias("cnts"),
+            F.flatten(F.transform("docs", lambda d: d["ss"])).alias("sids"),
+        )
+        # consumed by BOTH sides of the block-pair join: without
+        # materialization each side re-runs the shingler + block agg
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    bx = blocks.select(F.col("b").alias("bx"), F.col("docs").alias("docs_x"))
-    by = blocks.select(F.col("b").alias("by"), F.col("docs").alias("docs_y"))
+    register_persisted(blocks)
+    bx = blocks.select(
+        F.col("b").alias("bx"),
+        F.col("ids").alias("ids_x"),
+        F.col("cnts").alias("cnts_x"),
+        F.col("sids").alias("sids_x"),
+    )
+    by = blocks.select(
+        F.col("b").alias("by"),
+        F.col("ids").alias("ids_y"),
+        F.col("cnts").alias("cnts_y"),
+        F.col("sids").alias("sids_y"),
+    )
     # every unordered block pair exactly once; repartition spreads the
     # O(B²/2) pair tasks over the cluster
     bpairs = (
@@ -137,31 +152,49 @@ def ngram_jaccard_pairs(
     # so borderline extras are dropped by the same arithmetic as always
     pre = float(threshold) - 1e-6
 
-    def count_pairs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            for row in pdf.itertuples(index=False):
-                same = row.bx == row.by
-                ids_x = np.asarray([d["id"] for d in row.docs_x])
-                ss_x = [np.asarray(d["ss"], dtype=np.int64) for d in row.docs_x]
-                cnt_x = np.array([len(s) for s in ss_x], dtype=np.int64)
-                ex_sid = (
-                    np.concatenate(ss_x) if len(ss_x) else np.empty(0, np.int64)
-                )
+    def count_pairs(batches):
+        # mapInArrow: the block payloads stay Arrow buffers end to end —
+        # pyarrow dictionary_encode integer-codes the shingle strings in
+        # C++ (per task, over exactly the two payloads it compares), so no
+        # Python string object is ever materialized for the ~10^8 shingle
+        # occurrences crossing these tasks
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        def col_np(rb, name, i, dtype=None):
+            v = rb.column(name).slice(i, 1).flatten().to_numpy(
+                zero_copy_only=False
+            )
+            return v if dtype is None else v.astype(dtype)
+
+        for rb in batches:
+            bxs = rb.column("bx").to_pylist()
+            bys = rb.column("by").to_pylist()
+            for i in range(rb.num_rows):
+                same = bxs[i] == bys[i]
+                ids_x = col_np(rb, "ids_x", i)
+                cnt_x = col_np(rb, "cnts_x", i, np.int64)
+                sx = rb.column("sids_x").slice(i, 1).flatten()
                 ex_doc = np.repeat(np.arange(len(ids_x)), cnt_x)
                 if same:
                     ids_y, cnt_y = ids_x, cnt_x
+                    ex_sid = (
+                        pc.dictionary_encode(sx)
+                        .indices.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
+                    )
                     ey_sid, ey_doc = ex_sid, ex_doc
                 else:
-                    ids_y = np.asarray([d["id"] for d in row.docs_y])
-                    ss_y = [
-                        np.asarray(d["ss"], dtype=np.int64) for d in row.docs_y
-                    ]
-                    cnt_y = np.array([len(s) for s in ss_y], dtype=np.int64)
-                    ey_sid = (
-                        np.concatenate(ss_y)
-                        if len(ss_y)
-                        else np.empty(0, np.int64)
+                    ids_y = col_np(rb, "ids_y", i)
+                    cnt_y = col_np(rb, "cnts_y", i, np.int64)
+                    sy = rb.column("sids_y").slice(i, 1).flatten()
+                    codes = (
+                        pc.dictionary_encode(pa.concat_arrays([sx, sy]))
+                        .indices.to_numpy(zero_copy_only=False)
+                        .astype(np.int64)
                     )
+                    ex_sid = codes[: len(sx)]
+                    ey_sid = codes[len(sx) :]
                     ey_doc = np.repeat(np.arange(len(ids_y)), cnt_y)
                 if not len(ex_sid) or not len(ey_sid):
                     continue
@@ -197,17 +230,18 @@ def ngram_jaccard_pairs(
                 out_b = np.where(swap, ida, idb)
                 out_na = np.where(swap, nb, na)
                 out_nb = np.where(swap, na, nb)
-                yield pd.DataFrame(
-                    {
-                        "id_a": out_a,
-                        "id_b": out_b,
-                        "n_shared": shared.astype(np.int64),
-                        "n_a": out_na.astype(np.int64),
-                        "n_b": out_nb.astype(np.int64),
-                    }
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out_a),
+                        pa.array(out_b),
+                        pa.array(shared.astype(np.int64)),
+                        pa.array(out_na.astype(np.int64)),
+                        pa.array(out_nb.astype(np.int64)),
+                    ],
+                    names=["id_a", "id_b", "n_shared", "n_a", "n_b"],
                 )
 
-    counted = bpairs.mapInPandas(
+    counted = bpairs.mapInArrow(
         count_pairs,
         schema=(
             f"id_a {id_t}, id_b {id_t}, n_shared long, n_a long, n_b long"
@@ -710,8 +744,21 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                     digs[i] = np.frombuffer(d, dtype=np.uint8)
                 bits_u = np.unpackbits(digs, axis=1)  # (n_uniq, 64), MSB-first
                 doc_idx = np.repeat(np.arange(n), counts)
-                votes = np.zeros((n, 64), dtype=np.int64)
-                np.add.at(votes, doc_idx, bits_u[inv])
+                # votes = per-doc token-count vector × unique-token bit
+                # matrix — exact integer arithmetic either way; the matmul
+                # form avoids np.add.at's unbuffered scatter (measured ~10s
+                # of the SF=1 kernel) and is used whenever the dense count
+                # matrix stays small; the scatter path remains for corpora
+                # with large per-batch vocabularies
+                n_uniq = len(uniq)
+                if n * n_uniq <= 32_000_000:
+                    cnt = np.bincount(
+                        doc_idx * n_uniq + inv, minlength=n * n_uniq
+                    ).reshape(n, n_uniq)
+                    votes = cnt @ bits_u.astype(np.int64)
+                else:
+                    votes = np.zeros((n, 64), dtype=np.int64)
+                    np.add.at(votes, doc_idx, bits_u[inv])
                 maj = (votes * 2) > counts[:, None]  # zero-token rows: all False
                 packed = np.packbits(maj.astype(np.uint8), axis=1)  # MSB-first
                 sh = (

@@ -30,14 +30,45 @@ def _stopword_hits(text_col: str, words: list[str]):
 
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: argmax of per-language stopword hits,
-    'und' (undetermined) when no list scores. Ties broken by LANG_ORDER."""
-    hits = {lang: _stopword_hits(text_col, ws) for lang, ws in LANG_STOPWORDS.items()}
-    best_cnt = F.greatest(*[hits[lang] for lang in LANG_ORDER])
-    pred = F.lit("und")
-    for lang in reversed(LANG_ORDER):
-        pred = F.when(hits[lang] == best_cnt, F.lit(lang)).otherwise(pred)
-    pred = F.when(best_cnt > 0, pred).otherwise(F.lit("und"))
-    return docs.select(F.col(id_col), pred.alias("pred_lang"))
+    'und' (undetermined) when no list scores. Ties broken by LANG_ORDER.
+
+    Arrow-kernel form (round 8): the expression form evaluated four
+    interpreted F.filter(tokens, isin(...)) higher-order passes per row
+    (~3.8 s at SF=1). The kernel computes the identical integer hit counts
+    (str.lower().split(" ") matches split(lower(), " ") token for token;
+    membership in the pure-ASCII stopword lists is engine-independent) and
+    applies the same argmax/tie/und rule — pure integer logic, no float
+    crosses the boundary."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+    stop_map: dict[str, list[int]] = {}
+    for li, lang in enumerate(LANG_ORDER):
+        for w in LANG_STOPWORDS[lang]:
+            stop_map.setdefault(w, []).append(li)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nl = len(LANG_ORDER)
+        for pdf in batches:
+            preds = []
+            for x in pdf[text_col]:
+                counts = [0] * nl
+                for t in (x or "").lower().split(" "):
+                    for li in stop_map.get(t, ()):
+                        counts[li] += 1
+                best = max(counts)
+                preds.append(
+                    "und"
+                    if best == 0
+                    else LANG_ORDER[counts.index(best)]
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], "pred_lang": preds})
+
+    return docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_t}, pred_lang string"
+    )
 
 
 def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -54,12 +85,36 @@ def token_stats(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
 
 def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Length / punctuation / stopword-ratio quality signals + a composite
-    score in [0,1]. Rounded to 6dp for cross-engine comparability."""
+    score in [0,1]. Rounded to 6dp for cross-engine comparability.
+
+    The stopword count (the one interpreted higher-order pass) comes from
+    an Arrow kernel as an exact integer; every float ratio/round stays in
+    the same Spark expressions as before, so values are unchanged."""
+    from typing import Iterator
+
+    import pandas as pd
+
+    id_t = dict(docs.dtypes)[id_col]
+    en = frozenset(LANG_STOPWORDS["en"])
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            stops = [
+                sum(t in en for t in (x or "").lower().split(" "))
+                for x in pdf[text_col]
+            ]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], text_col: pdf[text_col], "__stop": stops}
+            )
+
+    docs = docs.select(id_col, text_col).mapInPandas(
+        run, schema=f"{id_col} {id_t}, {text_col} string, __stop int"
+    )
     toks = _tokens(text_col)
     n_tok = F.size(toks)
     n_chars = F.length(F.col(text_col))
     punct = F.length(F.regexp_replace(F.col(text_col), "[^.!?,;:]", ""))
-    stop = _stopword_hits(text_col, LANG_STOPWORDS["en"])
+    stop = F.col("__stop")
     mean_tok_len = F.when(n_tok > 0, n_chars.cast("double") / n_tok).otherwise(F.lit(0.0))
     punct_ratio = F.when(n_chars > 0, punct.cast("double") / n_chars).otherwise(F.lit(0.0))
     stop_ratio = F.when(n_tok > 0, stop.cast("double") / n_tok).otherwise(F.lit(0.0))
