@@ -117,21 +117,30 @@ def connected_components(
     hash-identical (the resume pays one extra fingerprint round to
     re-detect convergence).
     """
+    from pyspark import StorageLevel
+
+    from ..caching import register_persisted
     from .iterate import LoopCheckpointer, input_fingerprint
 
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .filter(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .distinct()
+        # consumed by up to three actions (fingerprint-or-count, the local
+        # collect or the loop seed, all_nodes) — without materialization
+        # each re-runs the distinct shuffle (round-8 review finding)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    params = (
-        {"op": "connected_components", "input": input_fingerprint(e, ["src", "dst"])}
-        if manager is not None
-        else None
+    register_persisted(e)
+    # one shared agg: the fingerprint's first component IS the row count,
+    # so durable mode decides the strategy from the same pass instead of a
+    # second full count() job; non-durable mode pays count() only
+    fp = (
+        input_fingerprint(e, ["src", "dst"]) if manager is not None else None
     )
-    ckpt = LoopCheckpointer(manager, stage, commit_every, params=params)
     if strategy == "auto":
-        strategy = "local" if e.count() <= local_threshold else "distributed"
+        n_e = fp[0] if fp is not None else e.count()
+        strategy = "local" if n_e <= local_threshold else "distributed"
     if strategy == "local":
         rep_map = _local_union_find(
             [(r["src"], r["dst"]) for r in e.collect()]
@@ -139,6 +148,12 @@ def connected_components(
         return e.sparkSession.createDataFrame(
             sorted(rep_map.items()), ["curie", "rep"]
         )
+    params = (
+        {"op": "connected_components", "input": fp}
+        if manager is not None
+        else None
+    )
+    ckpt = LoopCheckpointer(manager, stage, commit_every, params=params)
     all_nodes = e.select(F.col("src").alias("curie")).union(
         e.select(F.col("dst").alias("curie"))
     ).distinct()

