@@ -671,6 +671,9 @@ def cross_doc_spans(
     w = Window.partitionBy("doc_id").orderBy("pos")
     cov = (
         grams.join(flagged, "h")
+        # digest served as the join key only: drop it before the per-doc
+        # window shuffle (guide §2.3 — project before the exchange)
+        .select("doc_id", "pos")
         .withColumn(
             "contrib",
             F.least(

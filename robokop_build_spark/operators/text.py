@@ -24,10 +24,6 @@ def _tokens(text_col: str):
     return F.split(F.lower(F.col(text_col)), " ")
 
 
-def _stopword_hits(text_col: str, words: list[str]):
-    return F.size(F.filter(_tokens(text_col), lambda t: t.isin(*words)))
-
-
 def language_id(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Stopword-vote language ID: argmax of per-language stopword hits,
     'und' (undetermined) when no list scores. Ties broken by LANG_ORDER.

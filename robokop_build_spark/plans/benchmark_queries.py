@@ -2547,61 +2547,11 @@ SELECT id, cid, other AS dup_of, score FROM (
 #   block 4 — simple scalar/filter/sample entries with two rounds of green
 #             driver rows already (r05+r06), displaced past the window.
 QUERIES = {
-    # -- block 1: never driver-verified before round 7 ---------------------
-    "text_repetition": text_repetition,
-    "range_window_join": range_window_join,
-    "graph_triangles": graph_triangles,
-    "graph_kcore": graph_kcore,
-    "graph_core_number": graph_core_number,
-    "text_bm25_topk": text_bm25_topk,
-    "mix_temperature_sample": mix_temperature_sample,
-    "dedup_cluster_canonical": dedup_cluster_canonical,
-    "chunk_doc_windows": chunk_doc_windows,
-    "a9_rollup_revenue": a9_rollup_revenue,
-    "a10_percentiles": a10_percentiles,
-    "a11_pivot_status": a11_pivot_status,
-    "w5_moving_sum": w5_moving_sum,
-    "j11_bucketed_colocated": j11_bucketed_colocated,
-    "u6_unpivot_measures": u6_unpivot_measures,
-    "a12_cube_counts": a12_cube_counts,
-    "u7_intersect_keys": u7_intersect_keys,
-    # -- block 2: fixed/changed this round — need a fresh driver row -------
-    "streaming_minhash_dedup": streaming_minhash_dedup,
-    "streaming_sessionize": streaming_sessionize,
-    "kg_span_roundtrip": kg_span_roundtrip,
-    "a13_hll_distinct": a13_hll_distinct,
-    "a14_hist_quantile": a14_hist_quantile,
-    "semdedup_embeddings": semdedup_embeddings,
-    "dedup_span_coverage": dedup_span_coverage,
-    # -- block 3: high-value entries kept inside the 50-row window ---------
-    "kg_end_to_end": kg_end_to_end,
-    "kg_var_length": kg_var_length,
-    "kg_multi_program": kg_multi_program,
-    "kg_end_bound": kg_end_bound,
-    "kg_contexts_mode": kg_contexts_mode,
-    "multimodal_media_features": multimodal_media_features,
-    "multimodal_audio_features": multimodal_audio_features,
-    "dedup_exact": dedup_exact,
-    "dedup_ngram_jaccard": dedup_ngram_jaccard,
-    "dedup_minhash_lsh": dedup_minhash_lsh,
-    "dedup_neardup_verified": dedup_neardup_verified,
-    "dedup_simhash": dedup_simhash,
-    "ann_cosine_topk": ann_cosine_topk,
-    "ann_ivf_topk": ann_ivf_topk,
-    "ann_embedding_neardup": ann_embedding_neardup,
-    "asof_last_click": asof_last_click,
-    "sessionize_events": sessionize_events,
-    "scd2_event_intervals": scd2_event_intervals,
-    "pagerank_order_parts": pagerank_order_parts,
-    "j1_alias_resolution": j1_alias_resolution,
-    "j3_multiedge_dedup": j3_multiedge_dedup,
-    "j6_user_cooccurrence": j6_user_cooccurrence,
-    "j8_lookup_fallback": j8_lookup_fallback,
-    "j9_argmax_per_group": j9_argmax_per_group,
-    "a5_chi2_cooccurrence": a5_chi2_cooccurrence,
-    "w2_topk_per_group": w2_topk_per_group,
-    "decontaminate_ngrams": decontaminate_docs,
-    # -- block 4: two rounds of green driver rows (r05+r06) — past window --
+    # Window-rotation contract (VERDICT r6/r7): the external driver records
+    # the FIRST ~50 entries; no entry may go two consecutive rounds without
+    # a driver row. Round-8 order:
+    # -- block 1: entries holding only r6 driver rows (rotated to front
+    #    per VERDICT r7 #6 — several also changed this round) -------------
     "a1_count_by_lang": a1_count_by_lang,
     "q1_pricing_summary": q1_pricing_summary,
     "j5_region_revenue": j5_region_revenue,
@@ -2622,6 +2572,60 @@ QUERIES = {
     "text_quality": text_quality,
     "text_fingerprint": text_fingerprint,
     "text_pii_scrub": text_pii_scrub,
+    "decontaminate_ngrams": decontaminate_docs,
+    # -- block 2: code paths OPTIMIZED this round — need a fresh driver row
+    "kg_end_to_end": kg_end_to_end,
+    "kg_var_length": kg_var_length,
+    "kg_multi_program": kg_multi_program,
+    "kg_end_bound": kg_end_bound,
+    "kg_contexts_mode": kg_contexts_mode,
+    "kg_span_roundtrip": kg_span_roundtrip,
+    "dedup_ngram_jaccard": dedup_ngram_jaccard,
+    "dedup_minhash_lsh": dedup_minhash_lsh,
+    "dedup_neardup_verified": dedup_neardup_verified,
+    "dedup_simhash": dedup_simhash,
+    "dedup_span_coverage": dedup_span_coverage,
+    "semdedup_embeddings": semdedup_embeddings,
+    "ann_cosine_topk": ann_cosine_topk,
+    "ann_embedding_neardup": ann_embedding_neardup,
+    "streaming_minhash_dedup": streaming_minhash_dedup,
+    # -- block 3: high-value entries kept inside the 50-row window ---------
+    "dedup_exact": dedup_exact,
+    "ann_ivf_topk": ann_ivf_topk,
+    "asof_last_click": asof_last_click,
+    "sessionize_events": sessionize_events,
+    "scd2_event_intervals": scd2_event_intervals,
+    "pagerank_order_parts": pagerank_order_parts,
+    "j1_alias_resolution": j1_alias_resolution,
+    "j3_multiedge_dedup": j3_multiedge_dedup,
+    "j6_user_cooccurrence": j6_user_cooccurrence,
+    "j8_lookup_fallback": j8_lookup_fallback,
+    "j9_argmax_per_group": j9_argmax_per_group,
+    "a5_chi2_cooccurrence": a5_chi2_cooccurrence,
+    "w2_topk_per_group": w2_topk_per_group,
+    "a13_hll_distinct": a13_hll_distinct,
+    # -- block 4: r7-green rows on code untouched this round — past window -
+    "a14_hist_quantile": a14_hist_quantile,
+    "streaming_sessionize": streaming_sessionize,
+    "multimodal_media_features": multimodal_media_features,
+    "multimodal_audio_features": multimodal_audio_features,
+    "text_repetition": text_repetition,
+    "range_window_join": range_window_join,
+    "graph_triangles": graph_triangles,
+    "graph_kcore": graph_kcore,
+    "graph_core_number": graph_core_number,
+    "text_bm25_topk": text_bm25_topk,
+    "mix_temperature_sample": mix_temperature_sample,
+    "dedup_cluster_canonical": dedup_cluster_canonical,
+    "chunk_doc_windows": chunk_doc_windows,
+    "a9_rollup_revenue": a9_rollup_revenue,
+    "a10_percentiles": a10_percentiles,
+    "a11_pivot_status": a11_pivot_status,
+    "w5_moving_sum": w5_moving_sum,
+    "j11_bucketed_colocated": j11_bucketed_colocated,
+    "u6_unpivot_measures": u6_unpivot_measures,
+    "a12_cube_counts": a12_cube_counts,
+    "u7_intersect_keys": u7_intersect_keys,
 }
 
 # --------------------------------------------------------------------------

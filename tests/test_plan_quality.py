@@ -71,14 +71,19 @@ def test_aggregation_has_partial_combine(spark):
     assert "Exchange hashpartitioning(l_returnflag" in plan
 
 
-def test_text_ops_stay_in_codegen(spark):
+def test_text_ops_python_boundary_is_arrow_only(spark):
+    """Round-8 contract: quality_score's one Python crossing is the Arrow
+    MapInPandas stopword-count kernel (integer output only); every float
+    ratio/round stays in the JVM projection above it, and no row-at-a-time
+    Python evaluation (BatchEvalPython) exists anywhere in the plan."""
     from robokop_build_spark.operators.text import quality_score
 
     docs = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
     plan = _plan(quality_score(docs))
-    # '*(n)' is the WholeStageCodegen marker in executedPlan strings
-    assert "WholeStageCodegen" in plan or "*(" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1
+    # the float arithmetic is in a JVM Project over the kernel's int output
+    assert "round(" in plan and "__stop" in plan
 
 
 def test_salted_join_spreads_hot_keys(spark):
