@@ -352,7 +352,16 @@ class KGPipeline:
                     )
             return validate_triples(triples)
 
-        triples = ckpt.run_stage(f"triples{qk}", _triples, partition_by=["pred"])
+        # cluster rows by the partition column before the partitioned
+        # commit: without this every one of the ~32 writer tasks opens a
+        # file per pred value (measured 65 files for 791 rows at SF=1 —
+        # guide §6 small-files); after, one file per pred per non-empty
+        # partition. Row content unchanged.
+        triples = ckpt.run_stage(
+            f"triples{qk}",
+            lambda: _triples().repartition("pred"),
+            partition_by=["pred"],
+        )
         # partitioned read-back floats the partition column out of place;
         # re-assert the contractual column order (schemas.TRIPLES)
         from ..schemas import TRIPLES

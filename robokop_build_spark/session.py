@@ -58,11 +58,19 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION_BYTES", "8m"),
         )
         # local corpora arrive as a handful of files; smaller split targets
-        # keep scans wide (cluster deployments with many files can raise it)
+        # keep scans wide (cluster deployments with many files can raise it).
+        # Round 8: 16m -> 4m — the driver ships each table as ONE file
+        # (lineitem at SF=1 is 131 MB -> 9 tasks at 16m on a 32-core host;
+        # 4m fills every core). Guide §6's large-split advice targets
+        # many-file cluster scans, which the env override restores.
         .config(
             "spark.sql.files.maxPartitionBytes",
-            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"),
         )
+        # zstd parquet output (guide §6/§9): stage commits write markedly
+        # fewer bytes than snappy at similar speed — on this sandbox's
+        # wave-prone disk, commit wall tracks bytes written
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Arrow for pandas UDF exchange and toPandas/createDataFrame.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
