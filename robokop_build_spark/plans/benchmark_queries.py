@@ -1133,7 +1133,15 @@ def _ivf_params_for(
         try:
             with open(cache) as f:
                 d = json.load(f)
-            return d["cents"], d["nprobe"], d["recall"], d["scan"]
+            # ADVICE r7 #1: an entry computed by a Spark-less process on a
+            # corpus larger than the sample carries the known-drifting
+            # in-sample calibration. Honor it only if it is exact, or if
+            # this process too lacks a SparkSession (same best-effort);
+            # otherwise fall through and recompute exactly, overwriting
+            # the cache. Entries predating the flag recompute once and
+            # self-heal.
+            if d.get("exact", False) or SparkSession.getActiveSession() is None:
+                return d["cents"], d["nprobe"], d["recall"], d["scan"]
         except (OSError, ValueError, KeyError):
             pass  # unreadable/torn cache: recompute and rewrite below
 
@@ -1181,6 +1189,11 @@ def _ivf_params_for(
                         "nprobe": int(nprobe),
                         "recall": float(cal_recall),
                         "scan": float(scan_frac),
+                        # exact ⇔ the sample WAS the corpus, or the exact
+                        # distributed calibrator ran (ADVICE r7 #1)
+                        "exact": bool(
+                            n_corpus <= len(X) or exact_spark is not None
+                        ),
                     },
                     f,
                 )

@@ -378,3 +378,41 @@ def test_semantic_dedup_hot_cell_guard(spark):
         assert cos(r["id"], r["dup_of"]) >= 0.98  # float32/round slack
     # sub-bucketing loses only cross-bucket pairs: guarded count <= exact
     assert 0 < len(guarded) <= len(exact)
+
+
+def test_ivf_param_cache_exact_flag(spark, tmp_path):
+    """ADVICE r7 #1: a cached calibration carrying exact=False must be
+    recomputed (and re-cached exact) by a Spark-capable process instead of
+    silently adopted; an exact entry is trusted as-is."""
+    import json
+    import os
+    import shutil
+
+    from robokop_build_spark.plans import benchmark_queries as Q
+
+    d = str(tmp_path / "corpus")
+    os.makedirs(d)
+    shutil.copy("/root/testdata/sf0.01/embeddings.parquet",
+                os.path.join(d, "embeddings.parquet"))
+    cache = Q._ivf_cache_path(d, 65_536)
+    os.makedirs(os.path.dirname(cache), exist_ok=True)
+    bogus = {"cents": [[0.0] * 64], "nprobe": 999, "recall": 0.0,
+             "scan": 0.0, "exact": False}
+    with open(cache, "w") as f:
+        json.dump(bogus, f)
+    Q._ivf_params_for.cache_clear()
+    cents, nprobe, recall, scan = Q._ivf_params_for(d)
+    assert nprobe != 999  # the inexact entry was NOT adopted
+    with open(cache) as f:
+        healed = json.load(f)
+    assert healed["exact"] is True  # rewritten exact (sample == corpus)
+
+    # an exact entry, even a bogus one, is trusted without recompute
+    bogus["exact"] = True
+    bogus["nprobe"] = 7
+    with open(cache, "w") as f:
+        json.dump(bogus, f)
+    Q._ivf_params_for.cache_clear()
+    _, nprobe2, _, _ = Q._ivf_params_for(d)
+    assert nprobe2 == 7
+    Q._ivf_params_for.cache_clear()
