@@ -141,10 +141,22 @@ def ngram_jaccard_pairs(
         F.col("cnts").alias("cnts_y"),
         F.col("sids").alias("sids_y"),
     )
-    # every unordered block pair exactly once; repartition spreads the
-    # O(B²/2) pair tasks over the cluster
+    # every unordered block pair exactly once. The pair set is enumerated
+    # DRIVER-SIDE (n_blocks is plan-time known and ≤96 — dimension-sized)
+    # and attached with two equi-joins on the int block id: the earlier
+    # non-equi `bx <= by` self-join left the planner choosing between
+    # broadcast-nested-loop and cartesian on a payload sitting right at
+    # the autoBroadcast threshold, and the cartesian fallback measured
+    # ~10× slower (bimodal 9 s vs 96 s bench samples at SF=1). Equi-joins
+    # on a kB-sized pair list are deterministic; the repartition spreads
+    # the O(B²/2) pair tasks over the cluster.
+    pairs_df = docs.sparkSession.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bx int, by int",
+    )
     bpairs = (
-        bx.join(by, F.col("bx") <= F.col("by"))
+        pairs_df.join(bx, "bx")
+        .join(by, "by")
         .repartition(n_blocks * (n_blocks + 1) // 2, "bx", "by")
     )
     # conservative kernel-side prefilter: true ratio of every emitted pair
